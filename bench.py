@@ -1,0 +1,155 @@
+"""Benchmark: CV+PP degree=1 training throughput on a Reddit-scale graph.
+
+North-star metric (BASELINE.md): sampled edges/s/chip on Reddit-like CV+PP
+training, batch 512, hidden 128.  ``amt_data`` follows the reference's
+accounting (sampled-adjacency nnz per step, gcn/vrgcn.py:62); time covers the
+full training step (on-device sampling + forward + backward + Adam + history
+scatter).
+
+The original Reddit dataset does not ship with the code, so the benchmark
+runs on a synthetic graph with Reddit's shape (233k nodes, degree-capped at
+128 as the reference does for GraphSAGE data via --max_degree, feature dim
+602, 41 classes).
+
+``vs_baseline``: the reference publishes no absolute throughput.  We use a
+documented proxy of 1.0e5 sampled-edges/s for the reference TF1 single-GPU
+pipeline, estimated from its per-step costs on this config (≈300 steps/epoch
+at ~512 sampled adj edges + ~65k full-neighborhood edges each, host-sampled
+and feed-dict-copied every step; epoch times of seconds on the era's GPUs).
+The target from BASELINE.json is vs_baseline >= 5.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_EDGES_PER_S = 1.0e5  # documented proxy, see module docstring
+
+N_NODES = 233_000
+AVG_DEG = 64
+PAD_DEG = 128
+FEAT_DIM = 602
+N_CLASSES = 41
+BATCH = 512
+HIDDEN = 128
+
+
+def build_reddit_like(cache="data/bench_reddit_like.npz"):
+    import scipy.sparse as sp
+    from stochastic_gcn_tpu.data.graph import Dataset
+    from stochastic_gcn_tpu.data import preprocess as P
+
+    if os.path.exists(cache):
+        from stochastic_gcn_tpu.data.loaders import _load_cached
+        return _load_cached(cache)
+
+    rng = np.random.default_rng(0)
+    n_edges = N_NODES * AVG_DEG // 2
+    edges = rng.integers(0, N_NODES, size=(n_edges, 2), dtype=np.int32)
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    adj01 = (P.adj_from_edges(edges, N_NODES) > 0).astype(np.float32)
+    full_adj = P.graphsage_normalize_adj(adj01)
+
+    feats = rng.normal(size=(N_NODES, FEAT_DIM)).astype(np.float32)
+    labels = np.zeros((N_NODES, N_CLASSES), dtype=np.float32)
+    labels[np.arange(N_NODES), rng.integers(0, N_CLASSES, N_NODES)] = 1
+
+    perm = rng.permutation(N_NODES).astype(np.int32)
+    n_train = int(N_NODES * 0.66)
+    n_val = int(N_NODES * 0.10)
+    train_d = np.sort(perm[:n_train])
+    val_d = np.sort(perm[n_train:n_train + n_val])
+    test_d = np.sort(perm[n_train + n_val:])
+
+    is_train = np.zeros(N_NODES, bool)
+    is_train[train_d] = True
+    tr_mask = is_train[edges[:, 0]] & is_train[edges[:, 1]]
+    train_adj = P.graphsage_normalize_adj(
+        (P.adj_from_edges(edges[tr_mask], N_NODES) > 0).astype(np.float32))
+
+    print("computing PP features...", file=sys.stderr)
+    train_feats = train_adj.dot(feats)
+    test_feats = full_adj.dot(feats)
+
+    ds = Dataset(num_data=N_NODES, train_adj=train_adj, full_adj=full_adj,
+                 feats=feats, train_feats=train_feats, test_feats=test_feats,
+                 labels=labels, train_d=train_d, val_d=val_d, test_d=test_d)
+    try:
+        from stochastic_gcn_tpu.data.loaders import _cache_dataset
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        _cache_dataset(cache, ds, sparse_feats=False)
+    except Exception as e:
+        print(f"cache skipped: {e}", file=sys.stderr)
+    return ds
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from stochastic_gcn_tpu.config import Config
+    from stochastic_gcn_tpu.training.loop import Trainer
+
+    t0 = time.time()
+    ds = build_reddit_like()
+    print(f"data ready in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    cfg = Config(dataset="reddit_like", batch_size=BATCH, degree=1,
+                 test_degree=1, cv=True, test_cv=True, hidden1=HIDDEN,
+                 normalization="graphsage", layer_norm=True,
+                 num_fc_layers=2, weight_decay=0.0, dropout=0.2,
+                 pad_degree=PAD_DEG, seed=1)
+    t0 = time.time()
+    tr = Trainer(cfg, ds)
+    print(f"trainer built in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # epoch-style scan: S steps per dispatch, ONE host sync per dispatch
+    # (per-step host round trips through the device tunnel would dominate)
+    rng = np.random.default_rng(0)
+
+    def batch_matrix(steps):
+        ids = rng.permutation(ds.train_d)[:steps * BATCH].astype(np.int32)
+        return jnp.asarray(ids.reshape(steps, BATCH))
+
+    steps = 100
+    # warmup (compile)
+    t0 = time.time()
+    tr.state, metrics = tr._train_epoch(
+        tr.state, tr.graph_train, tr.train_features, tr.labels,
+        tr.importance_train, batch_matrix(steps), tr._next_key())
+    # the float() fetch absorbs the tunnel's ONE-TIME device->host transfer
+    # path initialization (can take minutes on axon; unrelated to the step)
+    _ = float(metrics["loss"])
+    print(f"warmup (compile + {steps} steps + first fetch) in "
+          f"{time.time()-t0:.1f}s", file=sys.stderr)
+
+    reps = 3
+    amt = 0
+    t0 = time.time()
+    for _ in range(reps):
+        tr.state, metrics = tr._train_epoch(
+            tr.state, tr.graph_train, tr.train_features, tr.labels,
+            tr.importance_train, batch_matrix(steps), tr._next_key())
+        amt += int(metrics["amt_data"])
+    dt = time.time() - t0
+
+    total_steps = reps * steps
+    edges_per_s = amt / dt
+    steps = total_steps
+    result = {
+        "metric": "reddit_like_cvpp_deg1_sampled_edges_per_s",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / REFERENCE_EDGES_PER_S, 3),
+        "steps_per_s": round(steps / dt, 2),
+        "step_ms": round(1000 * dt / steps, 2),
+        "loss": round(float(metrics["loss"]), 4),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

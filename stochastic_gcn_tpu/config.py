@@ -1,0 +1,157 @@
+"""Configuration system for stochastic_gcn_tpu.
+
+TPU-native replacement for the reference's global ``tf.app.flags`` singleton
+(reference: gcn/train.py:25-67, consumed at import time by gcn/layers.py:6-7,
+gcn/models.py:9-10, gcn/utils.py:14-15).  We keep the exact flag names and
+default values so every recipe in the reference README / scripts/run-experiments.py
+translates 1:1, but expose them as an explicit, immutable dataclass that is
+passed down the call stack instead of a process-global.
+
+The dataclass is hashable so it can be used as a static argument to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+
+@dataclass(frozen=True)
+class Config:
+    """All training/eval options.
+
+    Field names and defaults mirror gcn/train.py:25-67 of the reference.
+    TPU-specific additions are grouped at the bottom.
+    """
+
+    # -- core experiment flags (reference gcn/train.py:25-34) --
+    dataset: str = "cora"
+    model: str = "graphsage"  # 'graphsage' | 'mlp'
+    learning_rate: float = 0.01
+    epochs: int = 200                 # min number of epochs to train
+    data: int = 0                     # max amount of visited data (edge budget)
+    hidden1: int = 32
+    dropout: float = 0.5              # dropout RATE (keep_prob = 1 - dropout)
+    dense_input: bool = False
+    weight_decay: float = 5e-4
+    early_stopping: int = 10
+
+    # -- sampling (train.py:36-44) --
+    degree: int = 20                  # per-layer neighbour fanout
+    batch_size: int = 1000
+    cv: bool = False                  # control variate
+    preprocess: bool = True           # PP: precompute first aggregation
+    test_batch_size: int = 1000
+    test_degree: int = 20
+    test_cv: bool = False
+    test_preprocess: bool = True
+
+    # -- architecture (train.py:46-52) --
+    num_layers: int = 2
+    num_fc_layers: int = 1
+    beta1: float = 0.9
+    beta2: float = 0.999
+    normalization: str = "gcn"        # 'gcn' | 'graphsage'
+    layer_norm: bool = False
+    polyak_decay: float = 0.0
+
+    # -- estimator variants (train.py:53-59) --
+    load: bool = False
+    det_dropout: bool = False
+    cvd: bool = False
+    test_cvd: bool = False
+    importance: bool = False
+    test_importance: bool = False
+
+    # -- misc (train.py:61-67) --
+    seed: int = 1
+    max_degree: int = -1              # cap graph degree at load (GraphSAGE data)
+    gradvar: bool = False
+    reverse: bool = False             # dropout after dense instead of before
+    pp_nbr: bool = True               # PP uses neighbour features
+
+    # ---- TPU-native additions (no reference counterpart) ----
+    # Degree cap for the device-resident padded adjacency.  -1 = use the true
+    # max degree of the graph (exact semantics).  For power-law graphs set to
+    # e.g. 128; equivalent to the reference's --max_degree load-time subsample.
+    pad_degree: int = -1
+    # Capacity multiplier for field compaction (safety headroom over the
+    # analytic bound min(F*(1+k), N)).
+    data_dir: str = "data"
+    # Precision for matmuls: 'float32' (default, matches reference) or
+    # 'bfloat16' for the MXU fast path.
+    matmul_dtype: str = "float32"
+    # Number of devices along the data-parallel mesh axis (1 = single chip).
+    dp: int = 1
+    # Use the Pallas fused gather-aggregate kernel where available.
+    use_pallas: bool = True
+    # Run full-batch (whole-graph) training instead of minibatch sampling.
+    full_batch: bool = False
+    # Cap on padded nnz/row for sparse feature matrices (NELL-style).
+    feat_nnz_cap: int = 1024
+    # Directory for checkpoints.
+    ckpt_dir: str = "tmp"
+
+    # -------- derived properties (mirror train.py:85-87) --------
+    @property
+    def multitask(self) -> bool:
+        return self.dataset == "ppi"
+
+    @property
+    def train_L(self) -> int:
+        """Number of sampled aggregation layers at train time."""
+        return self.num_layers - 1 if self.preprocess else self.num_layers
+
+    @property
+    def test_L(self) -> int:
+        return self.num_layers - 1 if self.test_preprocess else self.num_layers
+
+    @property
+    def keep_prob(self) -> float:
+        return 1.0 - self.dropout
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _add_bool_flag(parser: argparse.ArgumentParser, name: str, default: bool,
+                   help_: str = "") -> None:
+    """TF1-style bool flags: --flag / --noflag / --flag=True|False."""
+    dest = name
+
+    class _BoolAction(argparse.Action):
+        def __call__(self, p, ns, values, option_string=None):
+            if option_string.startswith("--no"):
+                setattr(ns, dest, False)
+            elif values is None:
+                setattr(ns, dest, True)
+            else:
+                setattr(ns, dest, str(values).lower() in ("true", "1", "yes"))
+
+    parser.add_argument(f"--{name}", nargs="?", action=_BoolAction,
+                        default=default, metavar="BOOL", help=help_)
+    parser.add_argument(f"--no{name}", nargs=0, action=_BoolAction,
+                        dest=dest, help=argparse.SUPPRESS)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="stochastic_gcn_tpu trainer",
+        fromfile_prefix_chars="@",
+    )
+    for f in dataclasses.fields(Config):
+        if f.type == "bool" or isinstance(f.default, bool):
+            _add_bool_flag(parser, f.name, f.default)
+        else:
+            ty = {"int": int, "float": float, "str": str}.get(
+                f.type, type(f.default))
+            parser.add_argument(f"--{f.name}", type=ty, default=f.default)
+    return parser
+
+
+def parse_flags(argv: Optional[Sequence[str]] = None) -> Config:
+    ns = build_parser().parse_args(argv)
+    return Config(**{f.name: getattr(ns, f.name)
+                     for f in dataclasses.fields(Config)})

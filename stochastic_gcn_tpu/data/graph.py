@@ -1,0 +1,200 @@
+"""Device-resident graph containers.
+
+The reference streams sampled sub-adjacencies host->GPU every step via TF1
+feed_dicts (gcn/_scheduler.pyx:137-148).  The TPU-native design instead keeps
+the WHOLE graph resident in HBM in a static-shape padded form so the entire
+training step (sampling included) compiles into one XLA program:
+
+* ``PaddedGraph``: neighbor ids/weights as dense ``[N, Dcap]`` arrays with a
+  sentinel id ``N`` for empty slots.  Row order is the CSR order.  This is the
+  TPU analogue of the CSR arrays the reference C++ scheduler walks
+  (gcn/scheduler.h:17-27): random per-row access with static shapes, ideal for
+  vectorized fanout sampling and for the CV full-neighborhood term.
+* ``DenseRows``: node-indexed dense data (features/labels/history) stored as
+  ``[N+1, d]`` with a zero sentinel row so padded gathers are harmless.
+* ``PaddedSparseFeatures``: row-padded (idx, val) form of a sparse feature
+  matrix; the first dense layer treats X @ W as an embedding gather-sum, the
+  MXU-friendly equivalent of the reference's sparse_tensor_dense_matmul on
+  sparse inputs (gcn/layers.py:31-37).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PaddedGraph:
+    """Static-shape padded adjacency, device-resident.
+
+    Stored with ``N+1`` rows: row ``N`` is an empty sentinel row so that
+    gathers indexed by sentinel-padded node ids stay in bounds and contribute
+    zero weight.
+
+    Attributes:
+      nbr:  [N+1, Dcap] int32 neighbor ids; empty slots hold N (sentinel).
+      w:    [N+1, Dcap] float32 normalized edge weights; empty slots hold 0.
+      deg:  [N+1] int32 true (possibly capped) out-degree per row; deg[N]=0.
+    """
+    nbr: jax.Array
+    w: jax.Array
+    deg: jax.Array
+
+    @property
+    def num_nodes(self) -> int:
+        return self.nbr.shape[0] - 1
+
+    @property
+    def pad_degree(self) -> int:
+        return self.nbr.shape[1]
+
+    @property
+    def num_edges(self) -> jax.Array:
+        return jnp.sum(self.deg)
+
+
+def pad_csr(adj: sp.csr_matrix, pad_degree: int = -1) -> PaddedGraph:
+    """Convert a scipy CSR adjacency to a PaddedGraph.
+
+    ``pad_degree = -1`` pads to the true maximum degree (exact semantics).
+    A smaller cap keeps the first ``pad_degree`` CSR entries per row — for
+    capped-degree graphs apply :func:`preprocess.cap_adj_degree` first to get
+    a *random* (rather than positional) subsample.
+    """
+    adj = adj.tocsr()
+    n = adj.shape[0]
+
+    # native fast path (csrc/graphlib.cpp) — vectorized numpy fallback below
+    try:
+        from ..sampler.host import build_padded_arrays
+        out, dcap = build_padded_arrays(adj, pad_degree, cap_random=False)
+        if out is not None:
+            nbr, w, deg_out = out
+            return PaddedGraph(nbr=jnp.asarray(nbr), w=jnp.asarray(w),
+                               deg=jnp.asarray(deg_out))
+    except Exception:
+        pass
+
+    deg = np.diff(adj.indptr).astype(np.int32)
+    dcap = int(deg.max()) if n and deg.size else 1
+    if pad_degree != -1:
+        dcap = int(pad_degree)
+    dcap = max(dcap, 1)
+
+    capped = np.minimum(deg, dcap)
+    # vectorized fill: entry (r, s) takes CSR slot indptr[r]+s when s<deg[r]
+    slot = np.arange(dcap, dtype=np.int64)[None, :]
+    src = adj.indptr[:-1, None] + slot                 # [n, dcap]
+    valid = slot < capped[:, None]
+    src = np.where(valid, src, 0)
+    nbr = np.full((n + 1, dcap), n, dtype=np.int32)
+    w = np.zeros((n + 1, dcap), dtype=np.float32)
+    if adj.indices.size:
+        nbr[:n] = np.where(valid, adj.indices[src], n)
+        w[:n] = np.where(valid, adj.data[src], 0.0)
+    deg_out = np.zeros(n + 1, dtype=np.int32)
+    deg_out[:n] = capped
+    return PaddedGraph(
+        nbr=jnp.asarray(nbr),
+        w=jnp.asarray(w),
+        deg=jnp.asarray(deg_out),
+    )
+
+
+def dense_rows(x, num_nodes: Optional[int] = None,
+               dtype=jnp.float32) -> jax.Array:
+    """Densify node-indexed data to [N+1, d] with a zero sentinel row."""
+    if sp.issparse(x):
+        x = np.asarray(x.todense())
+    x = np.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    n = x.shape[0] if num_nodes is None else num_nodes
+    out = np.zeros((n + 1, x.shape[1]), dtype=np.dtype(dtype.dtype if
+                   hasattr(dtype, "dtype") else dtype))
+    out[:x.shape[0]] = x
+    return jnp.asarray(out)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PaddedSparseFeatures:
+    """Row-padded sparse features: X[i] = sum_j val[i,j] * e_{idx[i,j]}.
+
+    idx: [N+1, nnz_cap] int32 column ids (sentinel = dim for empty slots).
+    val: [N+1, nnz_cap] float32 values (0 for empty slots).
+    ``X @ W`` becomes ``sum_j val[:, j, None] * W_ext[idx[:, j]]`` where
+    ``W_ext`` is W with one zero row appended — a pure gather + reduction.
+    """
+    idx: jax.Array
+    val: jax.Array
+    dim: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return (self.idx.shape[0] - 1, self.dim)
+
+
+def pad_sparse_features(x: sp.spmatrix, nnz_cap: int = 1024,
+                        num_nodes: Optional[int] = None
+                        ) -> PaddedSparseFeatures:
+    """Pad a sparse feature matrix row-wise, truncating rows with more than
+    ``nnz_cap`` entries to the largest-|value| entries (documented deviation
+    from the reference, which keeps full sparse rows host-side)."""
+    x = x.tocsr()
+    n = x.shape[0] if num_nodes is None else num_nodes
+    dim = x.shape[1]
+    nnz = np.diff(x.indptr)
+    cap = int(min(nnz_cap, max(1, nnz.max() if len(nnz) else 1)))
+
+    idx = np.full((n + 1, cap), dim, dtype=np.int32)
+    val = np.zeros((n + 1, cap), dtype=np.float32)
+    for r in range(x.shape[0]):
+        lo, hi = x.indptr[r], x.indptr[r + 1]
+        cols = x.indices[lo:hi]
+        vals = x.data[lo:hi]
+        if hi - lo > cap:
+            keep = np.argsort(-np.abs(vals))[:cap]
+            cols, vals = cols[keep], vals[keep]
+        idx[r, :len(cols)] = cols
+        val[r, :len(cols)] = vals
+    return PaddedSparseFeatures(idx=jnp.asarray(idx), val=jnp.asarray(val),
+                                dim=dim)
+
+
+@dataclass
+class Dataset:
+    """Host-side dataset bundle; mirrors the reference ``load_data`` 10-tuple
+    (gcn/utils.py:466-473)."""
+    num_data: int
+    train_adj: sp.csr_matrix
+    full_adj: sp.csr_matrix
+    feats: object            # np.ndarray or scipy sparse
+    train_feats: object      # PP features over train_adj (Â_train · X)
+    test_feats: object       # PP features over full_adj  (Â_full · X)
+    labels: np.ndarray
+    train_d: np.ndarray
+    val_d: np.ndarray
+    test_d: np.ndarray
+
+    @property
+    def num_classes(self) -> int:
+        return self.labels.shape[1]
+
+    @property
+    def feature_dim(self) -> int:
+        return self.feats.shape[1]
+
+    def as_tuple(self):
+        return (self.num_data, self.train_adj, self.full_adj, self.feats,
+                self.train_feats, self.test_feats, self.labels,
+                self.train_d, self.val_d, self.test_d)

@@ -1,0 +1,296 @@
+"""On-device receptive-field scheduler.
+
+TPU-native re-design of the reference's host-side C++ scheduler
+(gcn/scheduler.cpp, driven by gcn/_scheduler.pyx).  Instead of walking CSR
+rows on the CPU and feed-dict'ing variable-size COO adjacencies to the device
+every step, the whole layer-by-layer receptive-field expansion runs inside the
+jitted training step over the device-resident :class:`PaddedGraph`:
+
+* **Uniform fanout sampling without replacement** — top-k of iid uniforms over
+  each padded row selects a uniformly random k-subset, matching the partial
+  Fisher-Yates semantics of scheduler.cpp:140-147.  Edge weights are rescaled
+  by ``deg/|sampled|`` (scheduler.cpp:130-134) so the estimator is unbiased,
+  and per-node CVD scales are ``1/sqrt(deg/|sampled|)``.
+* **Importance sampling** — Gumbel top-k over the neighbor union, which draws
+  from the same successive-sampling-without-replacement distribution as the
+  reference's Fenwick-tree ``Mult`` (gcn/mult.cpp); weights follow
+  scheduler.cpp:103-117.
+* **Field compaction** — static-capacity dedup replacing the reference's
+  ``visited`` hash maps (scheduler.cpp:48-52,148-151).  The output field is a
+  *prefix* of the input field (self nodes first) — the same prefix invariant
+  the reference's aggregators rely on — with newly-discovered nodes appended
+  in node-id order.  Shapes are fully static: a layer with out-capacity F and
+  fanout k has in-capacity ``F + min(F*k, N)``.
+* **Sentinel padding** — absent slots/nodes use id ``N``; features, labels
+  and history all carry a zero row ``N`` so padded gathers are free, and all
+  padded edges carry weight 0.
+
+Unlike the reference there is no ``ffield``/``ifield`` indirection: history is
+addressed directly by node id ([N+1, d] resident in HBM), so the CV
+full-neighborhood term reads graph rows + history rows with plain gathers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data.graph import PaddedGraph
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class LayerSample:
+    """Sampled adjacency from field l (input) to field l+1 (output).
+
+    Equivalent of one (adj, madj, scales) triple in the reference feed dict
+    (gcn/_scheduler.pyx:81-119), in dense fanout-slot form:
+
+      slot_pos: [F_out, k] int32 — position of each sampled neighbor in the
+                INPUT field (compacted), i.e. local column index of the edge.
+      slot_w:   [F_out, k] f32   — rescaled edge weight (0 = masked slot).
+      slot_aw:  [F_out, k] f32   — a_uv * w_uv cross-term weights (madj,
+                scheduler.cpp:163-164); zeros-shaped only when requested.
+      scales:   [F_out] f32      — 1/sqrt(deg/k_eff) (scheduler.cpp:132-134).
+    """
+    slot_pos: jax.Array
+    slot_w: jax.Array
+    slot_aw: Optional[jax.Array]
+    scales: jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class BatchFields:
+    """All per-minibatch sampling artifacts.
+
+    fields[0] is the input side, fields[-1] the batch (reference ordering
+    after the reversal in _scheduler.pyx:121-126).  layers[l] maps
+    fields[l] -> fields[l+1].
+    """
+    fields: Tuple[jax.Array, ...]
+    layers: Tuple[LayerSample, ...]
+
+
+def field_capacities(batch_size: int, degrees: Sequence[int], num_nodes: int,
+                     pad_degree: int, importance: bool = False) -> list[int]:
+    """Static field capacities, input side first (index 0 = layer-0 field)."""
+    caps = [batch_size]
+    # walk top-down (reference expands degrees[L-1], ..., degrees[0])
+    for degree in reversed(list(degrees)):
+        k = degree if importance else min(degree, pad_degree)
+        f = caps[-1]
+        caps.append(f + min(f * k, num_nodes))
+    caps.reverse()
+    return caps
+
+
+def compute_importance(graph: PaddedGraph) -> jax.Array:
+    """Per-node importance = 1e-6 + sum of squared in-edge weights
+    (scheduler.cpp:21-26)."""
+    n1 = graph.nbr.shape[0]
+    imp = jnp.zeros(n1, jnp.float32).at[graph.nbr.reshape(-1)].add(
+        jnp.square(graph.w).reshape(-1))
+    imp = imp + 1e-6
+    return imp.at[n1 - 1].set(1e-6)
+
+
+def expand_uniform(key: jax.Array, graph: PaddedGraph, field_out: jax.Array,
+                   degree: int, need_aw: bool):
+    """Sample <= ``degree`` neighbors/node uniformly without replacement.
+
+    Returns (nbr_id [F,k], slot_w [F,k], slot_aw, scales [F]).
+    """
+    dcap = graph.pad_degree
+    rows_nbr = graph.nbr[field_out]            # [F, Dcap]
+    rows_w = graph.w[field_out]
+    deg = graph.deg[field_out]                 # [F] int32
+    f = field_out.shape[0]
+    k = min(degree, dcap)
+
+    if k >= dcap:
+        nbr_id, base_w = rows_nbr, rows_w
+    else:
+        u = jax.random.uniform(key, (f, dcap))
+        valid = (jnp.arange(dcap, dtype=jnp.int32)[None, :] < deg[:, None])
+        u = jnp.where(valid, u, -1.0)
+        if k == 1:  # degree-1 fast path: argmax instead of top_k sort
+            sel = jnp.argmax(u, axis=1).astype(jnp.int32)[:, None]
+        else:
+            _, sel = jax.lax.top_k(u, k)       # [F, k] distinct slots
+        nbr_id = jnp.take_along_axis(rows_nbr, sel, axis=1)
+        base_w = jnp.take_along_axis(rows_w, sel, axis=1)
+
+    adj_size = jnp.minimum(deg, k)
+    scale = jnp.where(deg == 0, 1.0,
+                      deg.astype(jnp.float32)
+                      / jnp.maximum(adj_size, 1).astype(jnp.float32))
+    slot_w = base_w * scale[:, None]
+    slot_aw = base_w * slot_w if need_aw else None
+    scales = jax.lax.rsqrt(scale)
+    return nbr_id, slot_w, slot_aw, scales
+
+
+def expand_importance(key: jax.Array, graph: PaddedGraph,
+                      field_out: jax.Array, degree: int,
+                      importance: jax.Array):
+    """Importance sampling over the neighbor union (scheduler.cpp:63-122).
+
+    Samples ``n = min(|field|*degree, |union|)`` nodes from the union of
+    neighbors with probability proportional to importance, without
+    replacement (Gumbel top-k == successive sampling).  Every graph edge into
+    a selected node is kept with weight ``a_uv * total_imp / (imp_v * n)``.
+    Returns slots in [F, Dcap] masked form plus the selected-id list used for
+    field compaction.
+    """
+    n = graph.num_nodes
+    dcap = graph.pad_degree
+    f = field_out.shape[0]
+    rows_nbr = graph.nbr[field_out]
+    rows_w = graph.w[field_out]
+    deg = graph.deg[field_out]
+    valid = (jnp.arange(dcap, dtype=jnp.int32)[None, :] < deg[:, None])
+
+    union = jnp.zeros(n + 1, bool).at[
+        jnp.where(valid, rows_nbr, n)].set(True).at[n].set(False)
+    total_imp = jnp.sum(jnp.where(union, importance, 0.0))
+
+    f_true = jnp.sum(field_out < n)
+    union_size = jnp.sum(union)
+    n_samples = jnp.minimum(f_true * degree, union_size).astype(jnp.float32)
+    n_cap = min(f * degree, n)
+
+    g = jax.random.gumbel(key, (n + 1,))
+    score = jnp.where(union, jnp.log(importance) + g, -jnp.inf)
+    _, top_ids = jax.lax.top_k(score, n_cap)
+    rank_ok = jnp.arange(n_cap) < n_samples
+    sel_ids = jnp.where(rank_ok & union[top_ids], top_ids, n)
+    selected = jnp.zeros(n + 1, bool).at[sel_ids].set(True).at[n].set(False)
+
+    tgt_sel = selected[rows_nbr] & valid
+    inv = total_imp / (importance[rows_nbr]
+                       * jnp.maximum(n_samples, 1.0))
+    slot_w = jnp.where(tgt_sel, rows_w * inv, 0.0)
+    nbr_id = jnp.where(tgt_sel, rows_nbr, n)
+    scales = jnp.ones((f,), jnp.float32)
+    return nbr_id, slot_w, scales, sel_ids
+
+
+def compact_field(field_out: jax.Array, new_ids: jax.Array, num_nodes: int,
+                  capacity: int):
+    """Dedup-compact ``field_out ++ new_ids`` into a static-capacity field.
+
+    The output field occupies positions [0, F) (prefix invariant,
+    scheduler.cpp:48-52); new unique ids get positions F + rank in node-id
+    order.  Returns (field_in [capacity], pos_table [N+1]) where
+    ``pos_table[id]`` is the position of ``id`` in field_in (0 for ids not in
+    the field — only ever dereferenced under weight-0 masks).
+    """
+    n = num_nodes
+    f = field_out.shape[0]
+    arange_f = jnp.arange(f, dtype=jnp.int32)
+    pos_table = jnp.zeros(n + 1, jnp.int32).at[field_out].set(arange_f)
+    seen = jnp.zeros(n + 1, bool).at[field_out].set(True).at[n].set(True)
+    occurs = jnp.zeros(n + 1, bool).at[new_ids.reshape(-1)].set(True)
+    new_mask = occurs & ~seen
+    cum = jnp.cumsum(new_mask.astype(jnp.int32))
+    pos_table = jnp.where(new_mask, f + cum - 1, pos_table)
+
+    # Invert rank -> node id with a vectorized binary search over the
+    # monotone cumsum instead of an N-sized scatter (an N-update scatter
+    # lowers to a serial loop on TPU and wrecks both compile and run time).
+    ranks = jnp.arange(1, capacity - f + 1, dtype=cum.dtype)
+    new_by_rank = jnp.searchsorted(cum, ranks, side="left").astype(jnp.int32)
+    new_by_rank = jnp.minimum(new_by_rank, n)  # ranks past the count -> N
+    field_in = jnp.concatenate([field_out, new_by_rank])
+    return field_in, pos_table
+
+
+def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
+             degrees: Sequence[int], cv: bool, need_aw: bool = False,
+             importance: Optional[jax.Array] = None) -> BatchFields:
+    """Build the full receptive field for one minibatch.
+
+    Equivalent of ``PyScheduler.batch`` (gcn/_scheduler.pyx:55-127): expands
+    top-down with ``degrees[L-1], ..., degrees[0]`` then returns everything
+    input-side-first.  ``batch_ids`` must be [batch_size] int32, sentinel
+    (``N``)-padded, with unique real ids.
+
+    Runs entirely on device; intended to be called inside jit.
+    """
+    n = graph.num_nodes
+    degrees = list(degrees)
+    num_layers = len(degrees)
+    caps = field_capacities(batch_ids.shape[0], degrees, n, graph.pad_degree,
+                            importance=importance is not None)
+
+    fields = [batch_ids.astype(jnp.int32)]
+    layer_samples = []
+    field = fields[0]
+    for l in range(num_layers):
+        degree = degrees[num_layers - l - 1]
+        key, sub = jax.random.split(key)
+        cap = caps[num_layers - l - 1]
+        if importance is not None:
+            nbr_id, slot_w, scales, sel_ids = expand_importance(
+                sub, graph, field, degree, importance)
+            slot_aw = None
+            field_in, pos_table = compact_field(field, sel_ids, n, cap)
+        else:
+            nbr_id, slot_w, slot_aw, scales = expand_uniform(
+                sub, graph, field, degree, need_aw)
+            field_in, pos_table = compact_field(field, nbr_id, n, cap)
+        layer_samples.append(LayerSample(
+            slot_pos=pos_table[nbr_id], slot_w=slot_w, slot_aw=slot_aw,
+            scales=scales))
+        fields.append(field_in)
+        field = field_in
+
+    fields.reverse()
+    layer_samples.reverse()
+    return BatchFields(fields=tuple(fields), layers=tuple(layer_samples))
+
+
+class MinibatchIterator:
+    """Host-side epoch cursor over shuffled training ids
+    (gcn/_scheduler.pyx:50-53,129-135).  Yields sentinel-padded fixed-size
+    batches; scheduling itself happens on device inside the train step."""
+
+    def __init__(self, data_ids, batch_size: int, num_nodes: int, seed: int):
+        import numpy as np
+        self._np = np
+        self.data = np.asarray(data_ids, np.int32).copy()
+        self.batch_size = batch_size
+        self.num_nodes = num_nodes
+        self.rng = np.random.default_rng(seed)
+        self.start = 0
+
+    def shuffle(self) -> None:
+        self.rng.shuffle(self.data)
+        self.start = 0
+
+    def next_batch(self):
+        np = self._np
+        if self.start >= len(self.data):
+            return None
+        end = min(len(self.data), self.start + self.batch_size)
+        batch = self.data[self.start:end]
+        self.start = end
+        if len(batch) < self.batch_size:
+            pad = np.full(self.batch_size - len(batch), self.num_nodes,
+                          np.int32)
+            batch = np.concatenate([batch, pad])
+        return batch
+
+    @staticmethod
+    def pad_batch(ids, batch_size: int, num_nodes: int):
+        import numpy as np
+        ids = np.asarray(ids, np.int32)
+        if len(ids) < batch_size:
+            ids = np.concatenate(
+                [ids, np.full(batch_size - len(ids), num_nodes, np.int32)])
+        return ids

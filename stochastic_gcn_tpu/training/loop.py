@@ -1,0 +1,299 @@
+"""High-level Trainer: the functional equivalent of gcn/train.py's driver.
+
+Owns the device-resident data (graphs, features, labels, histories), the
+shared parameters, and the compiled train/eval steps; exposes ``sgd_train``,
+``evaluate``, ``test`` and ``gradient_variance`` mirroring SGDTrain
+(train.py:170-238), evaluate (133-160), Test (320-329) and GradientVariance
+(241-277).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data.graph import (Dataset, PaddedSparseFeatures, dense_rows, pad_csr,
+                          pad_sparse_features)
+from ..data.preprocess import cap_adj_degree
+from ..models import gcn as M
+from ..sampler.scheduler import MinibatchIterator, compute_importance
+from ..utils.metrics import Averager, calc_f1
+from . import step as S
+from .checkpoint import load_checkpoint, save_checkpoint
+
+
+def assemble_input_features(cfg: Config, feats, nbr_feats, preprocess: bool):
+    """Input feature assembly (gcn/models.py:234-241): under PP the model
+    consumes [X_self ‖ ÂX] (graphsage) or ÂX alone (gcn, self_dim=0)."""
+    sparse_input = sp.issparse(feats)
+    if preprocess and cfg.pp_nbr:
+        self_dim = 0 if cfg.normalization == "gcn" else feats.shape[1]
+        if sparse_input:
+            out = sp.hstack((feats[:, :self_dim], nbr_feats)).tocsr()
+        else:
+            out = np.hstack((feats[:, :self_dim], np.asarray(nbr_feats)))
+    else:
+        out = feats
+    return out, sparse_input
+
+
+def to_device_features(cfg: Config, feats, num_nodes: int):
+    if sp.issparse(feats):
+        if cfg.dense_input:
+            return dense_rows(feats, num_nodes)
+        return pad_sparse_features(feats, cfg.feat_nnz_cap, num_nodes)
+    return dense_rows(np.asarray(feats, np.float32), num_nodes)
+
+
+class Trainer:
+    def __init__(self, cfg: Config, ds: Dataset):
+        self.cfg = cfg
+        self.ds = ds
+        n = ds.num_data
+
+        train_adj, full_adj = ds.train_adj, ds.full_adj
+        test_feats_pp = ds.test_feats
+        if cfg.gradvar:
+            # analyze mode aliases the eval graph to the train graph
+            # (train.py:76-79)
+            full_adj = train_adj.copy()
+            test_feats_pp = ds.train_feats.copy() if sp.issparse(ds.train_feats) \
+                else np.array(ds.train_feats)
+
+        if cfg.pad_degree != -1:
+            train_adj = cap_adj_degree(train_adj, cfg.pad_degree, cfg.seed)
+            full_adj = cap_adj_degree(full_adj, cfg.pad_degree, cfg.seed)
+        self.graph_train = pad_csr(train_adj, cfg.pad_degree)
+        self.graph_full = pad_csr(full_adj, cfg.pad_degree)
+
+        # model specs: shared params, different estimator wiring
+        # (train.py:107-119)
+        in_dim = ds.feature_dim
+        out_dim = ds.num_classes
+        tr_feats, tr_sparse = assemble_input_features(
+            cfg, ds.feats, ds.train_feats, cfg.preprocess)
+        te_feats, te_sparse = assemble_input_features(
+            cfg, ds.feats, test_feats_pp, cfg.test_preprocess)
+        self.train_spec = M.build_model_spec(
+            cfg, in_dim, out_dim, cfg.preprocess, cfg.cv, cfg.cvd, tr_sparse)
+        test_cfg = cfg.replace(importance=cfg.test_importance)
+        self.test_spec = M.build_model_spec(
+            test_cfg, in_dim, out_dim, cfg.test_preprocess, cfg.test_cv,
+            cfg.test_cvd, te_sparse)
+
+        self.train_features = to_device_features(cfg, tr_feats, n)
+        self.test_features = to_device_features(cfg, te_feats, n)
+        self.labels = dense_rows(ds.labels, n)
+
+        self.train_degrees = tuple([cfg.degree] * self.train_spec
+                                   .num_agg_layers)
+        self.test_degrees = tuple([cfg.test_degree] * self.test_spec
+                                  .num_agg_layers)
+
+        self.importance_train = compute_importance(self.graph_train) \
+            if cfg.importance else jnp.zeros((n + 1,), jnp.float32)
+        self.importance_test = compute_importance(self.graph_full) \
+            if cfg.test_importance else jnp.zeros((n + 1,), jnp.float32)
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.key, init_key = jax.random.split(key)
+        self.state = S.init_train_state(init_key, cfg, self.train_spec, n)
+        # eval-side history is SEPARATE from train-side, as in the reference
+        # (tf.Variable outside make_template; train.py:174)
+        self.eval_histories = M.init_histories(self.test_spec, n)
+
+        self._train_step = S.make_train_step(cfg, self.train_spec,
+                                             self.train_degrees, n)
+        self._eval_step = S.make_eval_step(cfg, self.test_spec,
+                                           self.test_degrees, n)
+        self._train_epoch = S.make_train_epoch(cfg, self.train_spec,
+                                               self.train_degrees, n)
+        self._eval_epoch = S.make_eval_epoch(cfg, self.test_spec,
+                                             self.test_degrees, n)
+        self.train_iter = MinibatchIterator(ds.train_d, cfg.batch_size, n,
+                                            cfg.seed)
+        self.cost_val: list[float] = []
+        self.amt_data = 0
+        self.epoch_stats = {}
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    @staticmethod
+    def _batch_matrix(ids, batch_size: int, num_nodes: int):
+        """[S, B] sentinel-padded batch-id matrix for the epoch scan."""
+        ids = np.asarray(ids, np.int32)
+        s = max(1, -(-len(ids) // batch_size))
+        out = np.full((s * batch_size,), num_nodes, np.int32)
+        out[:len(ids)] = ids
+        return out.reshape(s, batch_size)
+
+    def train_epoch(self):
+        """One epoch as a single on-device scan (train.py:181-209 role).
+
+        Loss/accuracy reported are the LAST minibatch's, matching the
+        reference's window-1 Averager (train.py:167-168,208-209)."""
+        cfg = self.cfg
+        self.train_iter.shuffle()
+        t0 = time.time()
+        bm = self._batch_matrix(self.train_iter.data, cfg.batch_size,
+                                self.ds.num_data)
+        self.state, metrics = self._train_epoch(
+            self.state, self.graph_train, self.train_features, self.labels,
+            self.importance_train, jnp.asarray(bm), self._next_key())
+        loss = float(metrics["loss"])
+        acc = float(metrics["accuracy"])
+        self.amt_data = int(metrics["amt_data"])
+        return loss, acc, time.time() - t0, bm.shape[0]
+
+    def evaluate(self, data_ids):
+        """Batched evaluation as one on-device scan (train.py:133-160).
+        Stateful when test_cv: every pass refreshes the eval-side history."""
+        cfg = self.cfg
+        t0 = time.time()
+        n = self.ds.num_data
+        data_ids = np.asarray(data_ids, np.int32)
+        bm = self._batch_matrix(data_ids, cfg.test_batch_size, n)
+        self.eval_histories, out = self._eval_epoch(
+            self.state.params, self.eval_histories, self.graph_full,
+            self.test_features, self.labels, self.importance_test,
+            jnp.asarray(bm), self._next_key())
+        nvalid = np.asarray(out["nvalid"])          # true rows per batch
+        losses = np.asarray(out["losses"])
+        accs = np.asarray(out["accs"])
+        total_loss = float((losses * nvalid).sum() / len(data_ids))
+        total_acc = float((accs * nvalid).sum() / len(data_ids))
+        preds = np.asarray(out["preds"]).reshape(-1, self.ds.num_classes)
+        preds = preds[:len(data_ids)]               # drop sentinel tail
+        micro, macro = calc_f1(preds, self.ds.labels[data_ids],
+                               self.cfg.multitask)
+        return total_loss, total_acc, micro, macro, time.time() - t0
+
+    def sgd_train(self, log=print, max_epochs: Optional[int] = None):
+        """SGDTrain (train.py:170-238): epoch loop + validation + early
+        stopping on the trailing-window validation loss."""
+        cfg = self.cfg
+        if cfg.load:
+            self.load()
+            return
+        for epoch in range(max_epochs if max_epochs is not None
+                           else 100000000):
+            train_loss, train_acc, ttime, _ = self.train_epoch()
+            cost, acc, micro, macro, duration = self.evaluate(self.ds.val_d)
+            self.cost_val.append(cost)
+            log(f"Epoch: {epoch + 1:04d} "
+                f"train_loss= {train_loss:.5f} train_acc= {train_acc:.5f} "
+                f"val_loss= {cost:.5f} val_acc= {acc:.5f} "
+                f"mi F1={micro:.5f} ma F1={macro:.5f}  "
+                f"time= {ttime:.5f} ttime= {duration:.5f} "
+                f"data = {self.amt_data}")
+            if (epoch > cfg.early_stopping and
+                    self.cost_val[-1] > np.mean(
+                        self.cost_val[-(cfg.early_stopping + 1):-1])):
+                log("Early stopping...")
+                break
+            if self.amt_data >= cfg.data and epoch + 1 > cfg.epochs:
+                break
+        log("Optimization Finished!")
+        self.save()
+
+    def test(self, log=print):
+        """Test (train.py:320-329); with test_cv the caller should invoke
+        this num_layers+1 times so CV inference converges to exact
+        (train.py:339-341)."""
+        res = self.evaluate(self.ds.test_d)
+        test_cost, test_acc, micro, macro, dur = res
+        log(f"Test set results: cost= {test_cost:.5f} "
+            f"accuracy= {test_acc:.5f} mi F1={micro:.5f} ma F1={macro:.5f}  "
+            f"time= {dur:.5f}")
+        if self.cfg.test_cv:
+            remaining = np.array(sorted(
+                set(range(self.ds.num_data)) - set(self.ds.test_d.tolist())),
+                dtype=np.int32)
+            if len(remaining):
+                self.evaluate(remaining)
+        return test_acc, micro, macro
+
+    def run_tests(self, log=print):
+        num_runs = self.cfg.num_layers + 1 if self.cfg.test_cv else 1
+        out = None
+        for _ in range(num_runs):
+            out = self.test(log)
+        return out
+
+    # ------------------------------------------------------------------
+    def gradient_variance(self, times: int = 1000, log=print):
+        """GradientVariance (train.py:241-277): bias/stdev of predictions and
+        first-layer gradients, exact-vs-sampled, over repeated resamples."""
+        from ..utils.metrics import Stat
+        cfg = self.cfg
+        n = self.ds.num_data
+        batch = MinibatchIterator.pad_batch(
+            self.ds.train_d[:cfg.batch_size], cfg.batch_size, n)
+        batch = jnp.asarray(batch)
+
+        full_fn = S.make_pred_and_grad(cfg, self.test_spec,
+                                       self.test_degrees, n, False)
+        part_fn = S.make_pred_and_grad(cfg, self.train_spec,
+                                       self.train_degrees, n, True)
+
+        full_preds, full_grads = Stat(), Stat()
+        for _ in range(times):
+            p, g = full_fn(self.state.params, self.eval_histories,
+                           self.graph_full, self.test_features, self.labels,
+                           self.importance_test, batch, self._next_key())
+            full_preds.add(p)
+            full_grads.add(g)
+        fp_m = np.mean(np.abs(full_preds.mean()))
+        fg_m = np.mean(np.abs(full_grads.mean()))
+        log(f"Full pred stdev = {np.mean(full_preds.std()) / fp_m}")
+        log(f"Full grad stdev = {np.mean(full_grads.std()) / fg_m}")
+
+        part_preds, part_grads = Stat(), Stat()
+        for _ in range(times):
+            p, g = part_fn(self.state.params, self.state.histories,
+                           self.graph_train, self.train_features,
+                           self.labels, self.importance_train, batch,
+                           self._next_key())
+            part_preds.add(p)
+            part_grads.add(g)
+        pred_bias = np.mean(np.abs(part_preds.mean()
+                                   - full_preds.mean())) / fp_m
+        grad_bias = np.mean(np.abs(full_grads.mean()
+                                   - part_grads.mean())) / fg_m
+        log(f"Part pred bias = {pred_bias}")
+        log(f"Part pred stdev = {np.mean(part_preds.std()) / fp_m}")
+        log(f"Part grad bias = {grad_bias}")
+        log(f"Part grad stdev = {np.mean(part_grads.std()) / fg_m}")
+        return dict(pred_bias=pred_bias, grad_bias=grad_bias,
+                    pred_stdev=np.mean(part_preds.std()) / fp_m,
+                    grad_stdev=np.mean(part_grads.std()) / fg_m,
+                    full_pred_stdev=np.mean(full_preds.std()) / fp_m,
+                    full_grad_stdev=np.mean(full_grads.std()) / fg_m)
+
+    # ------------------------------------------------------------------
+    def save(self):
+        save_checkpoint(self.cfg.ckpt_dir, self.state, self.eval_histories,
+                        self.key)
+
+    def load(self, load_history: bool = None):
+        if load_history is None:
+            load_history = self.cfg.gradvar
+        self.state, eval_hist, key = load_checkpoint(
+            self.cfg.ckpt_dir, self.state, self.eval_histories, self.key,
+            load_history=load_history)
+        if load_history:
+            self.eval_histories = eval_hist
+        # copy train-side history into the eval-side buffers (train.py:174)
+        if self.state.histories and self.eval_histories:
+            self.eval_histories = jax.tree_util.tree_map(
+                lambda h: h, self.state.histories)

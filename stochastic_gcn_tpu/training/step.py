@@ -1,0 +1,266 @@
+"""Jitted train/eval steps.
+
+The reference's per-step pipeline (host sampling -> feed_dict copy ->
+sess.run of forward/backward/Adam/history-scatter, gcn/vrgcn.py:71-84) becomes
+ONE compiled XLA program: on-device scheduling, forward, loss, grad, Adam
+update and functional history scatter, with buffer donation so history/params
+update in place in HBM.
+
+Ordering contract (gcn/models.py:186-191): history is updated with the
+activations that produced this step's gradient, applied after the optimizer
+update — reproduced here by computing new history rows inside the forward and
+scattering them after ``optax`` applies the Adam step.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..data.graph import PaddedGraph
+from ..models import gcn as M
+from ..sampler.scheduler import BatchFields, compute_importance, schedule
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    params: dict
+    opt_state: tuple
+    histories: tuple      # per agg layer: tuple of [N+1, d] arrays
+    step: jax.Array
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Adam with the reference's hyperparameters (train.py:50-51 via
+    tf.train.AdamOptimizer: eps=1e-8 outside the sqrt)."""
+    return optax.adam(cfg.learning_rate, b1=cfg.beta1, b2=cfg.beta2,
+                      eps=1e-8)
+
+
+def init_train_state(key: jax.Array, cfg: Config, spec: M.ModelSpec,
+                     num_nodes: int) -> TrainState:
+    params = M.init_params(key, spec)
+    tx = make_optimizer(cfg)
+    return TrainState(params=params, opt_state=tx.init(params),
+                      histories=M.init_histories(spec, num_nodes),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def scatter_histories(histories, new_histories, fields, num_nodes: int):
+    """history[field_l] <- new rows; functional tf.scatter_update
+    (gcn/models.py:160-166).  Fields are unique per layer (compaction), so
+    the scatter is deterministic; the sentinel row is re-zeroed."""
+    out = []
+    for hist_l, new_l, field_l in zip(histories, new_histories, fields):
+        if new_l is None:
+            out.append(hist_l)
+            continue
+        updated = tuple(
+            h.at[field_l].set(nh).at[num_nodes].set(0.0)
+            for h, nh in zip(hist_l, new_l))
+        out.append(updated)
+    return tuple(out)
+
+
+def _batch_stats(pack: BatchFields, num_nodes: int):
+    """amt_data / field-size accounting (gcn/vrgcn.py:50-69)."""
+    amt = sum(jnp.sum((ls.slot_w != 0).astype(jnp.int32))
+              for ls in pack.layers) if pack.layers else jnp.zeros((), jnp.int32)
+    field_sizes = jnp.stack(
+        [jnp.sum((f < num_nodes).astype(jnp.int32)) for f in pack.fields]) \
+        if pack.fields else jnp.zeros((0,), jnp.int32)
+    return amt, field_sizes
+
+
+def build_train_step(cfg: Config, spec: M.ModelSpec,
+                     degrees: Tuple[int, ...], num_nodes: int):
+    """Raw (unjitted) ``step(state, graph, features, labels, importance,
+    batch_ids, key) -> (state', metrics)`` — for custom jit wrapping
+    (sharded variants live in parallel/mesh.py)."""
+    tx = make_optimizer(cfg)
+    use_importance = cfg.importance
+
+    def _step(state: TrainState, graph: PaddedGraph, features, labels,
+              importance, batch_ids, key):
+        k_sched, k_drop = jax.random.split(jax.random.fold_in(key,
+                                                              state.step))
+        pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
+                        need_aw=spec.det_dropout,
+                        importance=importance if use_importance else None)
+        batch_field = pack.fields[-1]
+        valid = (batch_field < num_nodes).astype(jnp.float32)
+        y = jnp.take(labels, batch_field, axis=0)
+
+        def loss_fn(params):
+            logits, new_h = M.forward(
+                params, spec, pack, graph, state.histories, features,
+                k_drop, cfg.keep_prob, train=True)
+            loss, acc = M.loss_and_metrics(params, spec, logits, y, valid,
+                                           cfg.weight_decay)
+            return loss, (acc, new_h)
+
+        (loss, (acc, new_h)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        histories = scatter_histories(state.histories, new_h,
+                                      pack.fields[:-1], num_nodes)
+        amt, field_sizes = _batch_stats(pack, num_nodes)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               histories=histories, step=state.step + 1)
+        return new_state, {"loss": loss, "accuracy": acc, "amt_data": amt,
+                           "field_sizes": field_sizes}
+
+    return _step
+
+
+def make_train_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
+                    num_nodes: int, donate: bool = True):
+    """Jitted single-chip train step with state donation."""
+    _step = build_train_step(cfg, spec, degrees, num_nodes)
+    return jax.jit(_step, donate_argnums=(0,) if donate else ())
+
+
+def make_train_epoch(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
+                     num_nodes: int):
+    """Whole-epoch runner: ``lax.scan`` of the train step over a [S, B]
+    batch-id matrix.
+
+    This is the TPU-native replacement for the reference's per-minibatch
+    host loop (train.py:187-209): ONE dispatch and ONE device->host sync per
+    epoch instead of per step — essential here because each host round trip
+    through the device tunnel costs orders of magnitude more than the step
+    itself.  Returns (state', {loss, accuracy (last step, matching the
+    reference's window-1 Averager), amt_data (summed)}).
+    """
+    _step = build_train_step(cfg, spec, degrees, num_nodes)
+
+    def _epoch(state: TrainState, graph, features, labels, importance,
+               batch_matrix, key):
+        def body(st, batch_ids):
+            st, m = _step(st, graph, features, labels, importance,
+                          batch_ids, key)
+            return st, (m["loss"], m["accuracy"], m["amt_data"])
+
+        state, (losses, accs, amts) = jax.lax.scan(body, state, batch_matrix)
+        return state, {"loss": losses[-1], "accuracy": accs[-1],
+                       "amt_data": jnp.sum(amts)}
+
+    return jax.jit(_epoch, donate_argnums=(0,))
+
+
+def make_eval_epoch(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
+                    num_nodes: int):
+    """Whole-evaluation runner: scan of the eval step over [S, B] batch ids;
+    returns per-batch losses/accuracies and stacked predictions with ONE
+    host sync (train.py:133-160 equivalent)."""
+    use_importance = cfg.test_importance
+
+    def _eval_one(params, histories, graph, features, labels, importance,
+                  batch_ids, key):
+        k_sched, k_drop = jax.random.split(key)
+        pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
+                        need_aw=spec.det_dropout,
+                        importance=importance if use_importance else None)
+        batch_field = pack.fields[-1]
+        valid = (batch_field < num_nodes).astype(jnp.float32)
+        y = jnp.take(labels, batch_field, axis=0)
+        logits, new_h = M.forward(params, spec, pack, graph, histories,
+                                  features, k_drop, cfg.keep_prob,
+                                  train=False)
+        loss, acc = M.loss_and_metrics(params, spec, logits, y, valid,
+                                       cfg.weight_decay)
+        pred = M.predict(spec, logits)
+        histories = scatter_histories(histories, new_h, pack.fields[:-1],
+                                      num_nodes)
+        return histories, (loss, acc, pred, jnp.sum(valid))
+
+    def _epoch(params, histories, graph, features, labels, importance,
+               batch_matrix, key):
+        def body(hist, xs):
+            batch_ids, k = xs
+            hist, out = _eval_one(params, hist, graph, features, labels,
+                                  importance, batch_ids, k)
+            return hist, out
+
+        keys = jax.random.split(key, batch_matrix.shape[0])
+        histories, (losses, accs, preds, nvalid) = jax.lax.scan(
+            body, histories, (batch_matrix, keys))
+        return histories, {"losses": losses, "accs": accs, "preds": preds,
+                           "nvalid": nvalid}
+
+    return jax.jit(_epoch, donate_argnums=(1,))
+
+
+def make_eval_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
+                   num_nodes: int):
+    """Evaluation step (gcn/vrgcn.py:81-84): no dropout, no weight update,
+    but WITH history refresh (test_op) when the eval model uses CV.
+
+    Returns jitted ``(params, eval_histories, graph, features, labels,
+    importance, batch_ids, key) -> (metrics, eval_histories')``.
+    """
+    use_importance = cfg.test_importance
+
+    def _eval(params, histories, graph: PaddedGraph, features, labels,
+              importance, batch_ids, key):
+        k_sched, k_drop = jax.random.split(key)
+        pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
+                        need_aw=spec.det_dropout,
+                        importance=importance if use_importance else None)
+        batch_field = pack.fields[-1]
+        valid = (batch_field < num_nodes).astype(jnp.float32)
+        y = jnp.take(labels, batch_field, axis=0)
+
+        logits, new_h = M.forward(params, spec, pack, graph, histories,
+                                  features, k_drop, cfg.keep_prob,
+                                  train=False)
+        loss, acc = M.loss_and_metrics(params, spec, logits, y, valid,
+                                       cfg.weight_decay)
+        pred = M.predict(spec, logits)
+        histories = scatter_histories(histories, new_h, pack.fields[:-1],
+                                      num_nodes)
+        return {"loss": loss, "accuracy": acc, "pred": pred,
+                "valid": valid}, histories
+
+    return jax.jit(_eval, donate_argnums=(1,))
+
+
+def make_pred_and_grad(cfg: Config, spec: M.ModelSpec,
+                       degrees: Tuple[int, ...], num_nodes: int,
+                       train_mode: bool):
+    """get_pred_and_grad (gcn/vrgcn.py:86-93): prediction + d loss / d first
+    layer weights, used by the gradient-variance harness (train.py:241-277).
+    Dropout IS applied (the reference feeds the dropout placeholder here)."""
+    use_importance = cfg.importance if train_mode else cfg.test_importance
+
+    def _run(params, histories, graph, features, labels, importance,
+             batch_ids, key):
+        k_sched, k_drop = jax.random.split(key)
+        pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
+                        need_aw=spec.det_dropout,
+                        importance=importance if use_importance else None)
+        batch_field = pack.fields[-1]
+        valid = (batch_field < num_nodes).astype(jnp.float32)
+        y = jnp.take(labels, batch_field, axis=0)
+
+        def loss_fn(params):
+            logits, _ = M.forward(params, spec, pack, graph, histories,
+                                  features, k_drop, cfg.keep_prob,
+                                  train=True)
+            loss, _ = M.loss_and_metrics(params, spec, logits, y, valid,
+                                         cfg.weight_decay)
+            return loss, logits
+
+        grads, logits = jax.grad(loss_fn, has_aux=True)(params)
+        first = M.first_param_layer(spec)
+        return M.predict(spec, logits), grads[first]["weights"]
+
+    return jax.jit(_run)

@@ -1,0 +1,188 @@
+"""On-device scheduler tests: compaction, prefix invariant, sampling
+semantics, unbiasedness.  These are the TPU-native versions of the checks
+the reference makes by eyeballing gcn/test_scheduler.py output."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stochastic_gcn_tpu.data.graph import pad_csr
+from stochastic_gcn_tpu.data.loaders import synthetic_dataset
+from stochastic_gcn_tpu.data.preprocess import gcn_normalize_adj
+from stochastic_gcn_tpu.sampler.scheduler import (
+    MinibatchIterator, compact_field, compute_importance, expand_uniform,
+    field_capacities, schedule)
+
+
+@pytest.fixture(scope="module")
+def small():
+    ds = synthetic_dataset(num_nodes=50, feature_dim=8, num_classes=3,
+                           avg_degree=5, seed=0)
+    return ds, pad_csr(ds.full_adj)
+
+
+def sampled_adj_dense(graph, pack, layer, n):
+    """Reconstruct the dense [F_out, N] sampled adjacency of one layer."""
+    ls = pack.layers[layer]
+    field_in = np.asarray(pack.fields[layer])
+    pos = np.asarray(ls.slot_pos)
+    w = np.asarray(ls.slot_w)
+    f_out = pos.shape[0]
+    dense = np.zeros((f_out, n + 1), np.float32)
+    for i in range(f_out):
+        for s in range(pos.shape[1]):
+            if w[i, s] != 0:
+                dense[i, field_in[pos[i, s]]] += w[i, s]
+    return dense[:, :n]
+
+
+def test_compact_field_prefix_and_dedup():
+    n = 20
+    field_out = jnp.asarray([3, 7, 11, n], jnp.int32)    # sentinel-padded
+    new_ids = jnp.asarray([[7, 2], [11, 2], [5, n]], jnp.int32)
+    cap = 4 + 6
+    field_in, pos = compact_field(field_out, new_ids, n, cap)
+    field_in = np.asarray(field_in)
+    pos = np.asarray(pos)
+    # prefix invariant: out field occupies positions 0..F-1
+    np.testing.assert_array_equal(field_in[:4], [3, 7, 11, n])
+    # new unique nodes {2, 5} appended in node-id order
+    np.testing.assert_array_equal(field_in[4:6], [2, 5])
+    # remaining capacity sentinel-padded
+    assert (field_in[6:] == n).all()
+    # position table consistency
+    assert pos[7] == 1 and pos[11] == 2 and pos[2] == 4 and pos[5] == 5
+
+
+def test_field_capacities_cap_at_n():
+    caps = field_capacities(100, [20, 20], num_nodes=50, pad_degree=30)
+    # input side first; capacity never exceeds F + N
+    assert caps[-1] == 100
+    assert caps[1] == 100 + 50
+    assert caps[0] == caps[1] + 50
+
+
+def test_expand_uniform_without_replacement(small):
+    ds, g = small
+    field = jnp.asarray(np.arange(10), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    nbr_id, w, aw, scales = expand_uniform(key, g, field, 3, need_aw=True)
+    nbr_id = np.asarray(nbr_id)
+    deg = np.asarray(g.deg)[:10]
+    for i in range(10):
+        real = nbr_id[i][np.asarray(w)[i] != 0]
+        # distinct picks
+        assert len(set(real.tolist())) == len(real)
+        assert len(real) == min(3, deg[i])
+        # all picks are true neighbors
+        row = set(np.asarray(g.nbr)[i, :deg[i]].tolist())
+        assert set(real.tolist()) <= row
+
+
+def test_sampled_weights_rescaled_unbiased(small):
+    """E[Â_samp] == Â over resamples (scheduler.cpp:130-147 rescaling)."""
+    ds, g = small
+    n = ds.num_data
+    batch = jnp.asarray(np.arange(16), jnp.int32)
+    adj = ds.full_adj.toarray()
+
+    @jax.jit
+    def one(key):
+        return schedule(key, g, batch, (2,), cv=False)
+
+    acc = np.zeros((16, n), np.float64)
+    trials = 300
+    for t in range(trials):
+        pack = one(jax.random.PRNGKey(t))
+        acc += sampled_adj_dense(g, pack, 0, n)
+    acc /= trials
+    # relative tolerance: estimator mean within ~5 sigma of truth
+    np.testing.assert_allclose(acc, adj[:16], atol=0.12)
+
+
+def test_exact_mode_recovers_full_adjacency(small):
+    """degree >= max degree -> the sampled adjacency IS the full one."""
+    ds, g = small
+    n = ds.num_data
+    batch = jnp.asarray(np.arange(12), jnp.int32)
+    pack = schedule(jax.random.PRNGKey(0), g, batch, (g.pad_degree,),
+                    cv=False)
+    dense = sampled_adj_dense(g, pack, 0, n)
+    np.testing.assert_allclose(dense, ds.full_adj.toarray()[:12], rtol=1e-6)
+
+
+def test_schedule_field_ordering_and_shapes(small):
+    ds, g = small
+    batch = jnp.asarray(np.arange(8), jnp.int32)
+    pack = schedule(jax.random.PRNGKey(1), g, batch, (2, 2), cv=True)
+    assert len(pack.fields) == 3
+    assert len(pack.layers) == 2
+    # fields[-1] is the batch
+    np.testing.assert_array_equal(np.asarray(pack.fields[-1]), np.arange(8))
+    # prefix invariant between consecutive fields
+    for l in range(2):
+        f_out = np.asarray(pack.fields[l + 1])
+        f_in = np.asarray(pack.fields[l])
+        np.testing.assert_array_equal(f_in[:len(f_out)], f_out)
+        # all real ids unique
+        real = f_in[f_in < ds.num_data]
+        assert len(np.unique(real)) == len(real)
+
+
+def test_cvd_scales(small):
+    """scales = 1/sqrt(deg/k_eff) (scheduler.cpp:132-134)."""
+    ds, g = small
+    batch = jnp.asarray(np.arange(10), jnp.int32)
+    pack = schedule(jax.random.PRNGKey(0), g, batch, (2,), cv=True)
+    deg = np.asarray(g.deg)[:10].astype(np.float64)
+    expect = 1.0 / np.sqrt(np.where(deg == 0, 1.0,
+                                    deg / np.minimum(deg, 2)))
+    np.testing.assert_allclose(np.asarray(pack.layers[0].scales)[:10],
+                               expect, rtol=1e-5)
+
+
+def test_importance_sampling_unbiased(small):
+    """E[Â_IS] == Â (scheduler.cpp:103-117 weighting)."""
+    ds, g = small
+    n = ds.num_data
+    imp = compute_importance(g)
+    batch = jnp.asarray(np.arange(8), jnp.int32)
+
+    @jax.jit
+    def one(key):
+        return schedule(key, g, batch, (3,), cv=False, importance=imp)
+
+    acc = np.zeros((8, n), np.float64)
+    trials = 400
+    for t in range(trials):
+        pack = one(jax.random.PRNGKey(t))
+        acc += sampled_adj_dense(g, pack, 0, n)
+    acc /= trials
+    np.testing.assert_allclose(acc, ds.full_adj.toarray()[:8], atol=0.12)
+
+
+def test_importance_values(small):
+    ds, g = small
+    imp = np.asarray(compute_importance(g))
+    a = ds.full_adj.toarray()
+    expect = 1e-6 + (a ** 2).sum(0)
+    np.testing.assert_allclose(imp[:ds.num_data], expect, rtol=1e-4)
+
+
+def test_minibatch_iterator_epoch():
+    it = MinibatchIterator(np.arange(25), batch_size=10, num_nodes=100,
+                          seed=0)
+    it.shuffle()
+    seen = []
+    batches = 0
+    while True:
+        b = it.next_batch()
+        if b is None:
+            break
+        batches += 1
+        assert len(b) == 10
+        seen.extend(b[b < 100].tolist())
+    assert batches == 3
+    assert sorted(seen) == list(range(25))
