@@ -138,6 +138,33 @@ def main():
     total_steps = reps * steps
     edges_per_s = amt / dt
     steps = total_steps
+
+    # secondary: max-throughput batch (per-step cost is latency-bound and
+    # nearly batch-independent, so edges/s scales ~linearly with batch)
+    big = 4096
+    big_steps = 100
+    cfg_big = cfg.replace(batch_size=big)
+    tr_big = Trainer(cfg_big, ds)
+    def big_matrix(s):
+        # recycle train ids across steps so the scan is long enough to
+        # amortize the fixed per-dispatch cost (batches stay duplicate-free
+        # WITHIN each step, which is all the scheduler requires)
+        ids = np.resize(rng.permutation(ds.train_d).astype(np.int32),
+                        s * big)
+        return jnp.asarray(ids.reshape(s, big))
+    tr_big.state, m2 = tr_big._train_epoch(
+        tr_big.state, tr_big.graph_train, tr_big.train_features,
+        tr_big.labels, tr_big.importance_train, big_matrix(big_steps),
+        tr_big._next_key())
+    _ = float(m2["loss"])
+    t0 = time.time()
+    tr_big.state, m2 = tr_big._train_epoch(
+        tr_big.state, tr_big.graph_train, tr_big.train_features,
+        tr_big.labels, tr_big.importance_train, big_matrix(big_steps),
+        tr_big._next_key())
+    amt_big = int(m2["amt_data"])
+    dt_big = time.time() - t0
+    edges_per_s_big = amt_big / dt_big
     result = {
         "metric": "reddit_like_cvpp_deg1_sampled_edges_per_s",
         "value": round(edges_per_s, 1),
@@ -146,6 +173,9 @@ def main():
         "steps_per_s": round(steps / dt, 2),
         "step_ms": round(1000 * dt / steps, 2),
         "loss": round(float(metrics["loss"]), 4),
+        "edges_per_s_batch4096": round(edges_per_s_big, 1),
+        "vs_baseline_batch4096": round(edges_per_s_big
+                                       / REFERENCE_EDGES_PER_S, 3),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

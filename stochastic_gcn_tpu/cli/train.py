@@ -29,6 +29,21 @@ def main(argv=None):
     print("{} training data, {} validation data, {} testing data.".format(
         len(ds.train_d), len(ds.val_d), len(ds.test_d)))
 
+    if cfg.model == "mlp":
+        # NeighbourMLP baseline (reference --model mlp, gcn/mlp.py)
+        from ..models.mlp import MLPTrainer
+        trainer = MLPTrainer(cfg, ds)
+        for epoch in range(cfg.epochs):
+            loss, acc = trainer.train_epoch()
+            vloss, vacc, micro, macro = trainer.evaluate(ds.val_d)
+            print(f"Epoch: {epoch + 1:04d} train_loss= {loss:.5f} "
+                  f"train_acc= {acc:.5f} val_loss= {vloss:.5f} "
+                  f"val_acc= {vacc:.5f} mi F1={micro:.5f} ma F1={macro:.5f}")
+        tloss, tacc, micro, macro = trainer.evaluate(ds.test_d)
+        print(f"Test set results: cost= {tloss:.5f} accuracy= {tacc:.5f} "
+              f"mi F1={micro:.5f} ma F1={macro:.5f}  time= 0.00000")
+        return trainer
+
     trainer = Trainer(cfg, ds)
     trainer.sgd_train()
 

@@ -79,6 +79,7 @@ LayerSpec = Union[DropoutSpec, DenseSpec, AugDenseSpec, DetFCSpec, AggSpec]
 @dataclass(frozen=True)
 class ModelSpec:
     """Static model description (hashable; safe as a jit static arg)."""
+    reverse_input_dropout: bool
     specs: Tuple[LayerSpec, ...]
     num_agg_layers: int          # L after the PP adjustment
     agg0_dim: int
@@ -157,6 +158,7 @@ def build_model_spec(cfg: Config, input_dim: int, output_dim: int,
     hist_dims = tuple(agg0_dim if i == 0 else cfg.hidden1
                       for i in range(n_agg))
     return ModelSpec(
+        reverse_input_dropout=cfg.reverse,
         specs=tuple(specs), num_agg_layers=n_agg, agg0_dim=agg0_dim,
         input_dim=input_dim * dim_s if preprocess and cfg.pp_nbr
         else input_dim,
@@ -223,6 +225,11 @@ def forward(params: dict, spec: ModelSpec, pack: BatchFields,
     """
     kp = keep_prob if train else 1.0
     h = _slice_inputs(features, pack.fields[0])
+    if spec.reverse_input_dropout and train:
+        # --reverse applies dropout directly to the sliced input features
+        # (reference does this host-side: gcn/plaingcn.py:30-38)
+        key, sub = jax.random.split(key)
+        h = L.dropout(sub, h, kp)
     if isinstance(h, PaddedSparseFeatures) and not any(
             isinstance(s, (DenseSpec, AugDenseSpec, DetFCSpec)) and
             s.sparse_inputs for s in spec.specs):
