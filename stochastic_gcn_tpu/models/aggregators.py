@@ -53,6 +53,22 @@ def full_neighborhood_mean(hist: jax.Array, graph: PaddedGraph,
     return jnp.einsum("fk,fkd->fd", fw, rows)
 
 
+def ema_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
+                  history: Tuple[jax.Array, ...], alpha: float,
+                  normalization: str):
+    """EMAAggregator (gcn/layers.py:260-279): exponential-moving-average
+    blend of the sampled aggregation with history.  Unused by the reference
+    drivers but part of its op surface; provided for completeness.
+
+    Z = alpha * Â_samp·H + (1-alpha) * h̄[field_out];  new history = Z.
+    """
+    f = ls.slot_pos.shape[0]
+    a_hat = fanout_gather(inputs, ls.slot_pos, ls.slot_w)
+    hist_rows = jnp.take(history[0], field_in[:f], axis=0)
+    a_nbr = a_hat * alpha + hist_rows * (1.0 - alpha)
+    return _self_concat(normalization, inputs[:f], a_nbr), (a_nbr,)
+
+
 def _self_concat(normalization: str, self_part, nbr_part):
     if normalization == "gcn":
         return nbr_part

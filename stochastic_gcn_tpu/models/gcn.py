@@ -190,14 +190,19 @@ def first_param_layer(spec: ModelSpec) -> str:
     raise ValueError("model has no parametric layers")
 
 
-def init_histories(spec: ModelSpec, num_nodes: int
+def init_histories(spec: ModelSpec, num_nodes: int, row_multiple: int = 8
                    ) -> Tuple[Tuple[jax.Array, ...], ...]:
     """Zero history buffers: per agg layer, 1 (or 2 for det_dropout) arrays
-    of shape [N+1, d] (vrgcn.py:23-36 + sentinel row)."""
+    of shape [>=N+1, d] (vrgcn.py:23-36 + sentinel row).
+
+    Rows are padded up to a multiple of ``row_multiple`` so the buffers can
+    be sharded along the node dimension across a device mesh; rows past the
+    sentinel are never addressed (all ids <= N)."""
     if not spec.cv:
         return tuple()
+    rows = -(-(num_nodes + 1) // row_multiple) * row_multiple
     return tuple(
-        tuple(jnp.zeros((num_nodes + 1, d), jnp.float32)
+        tuple(jnp.zeros((rows, d), jnp.float32)
               for _ in range(spec.n_history_per_layer))
         for d in spec.history_dims)
 

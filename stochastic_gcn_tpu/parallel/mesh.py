@@ -40,16 +40,41 @@ def batch_sharded(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def row_sharded(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """[N, d] arrays sharded along the node dimension."""
+    return NamedSharding(mesh, P(axis_name, None))
+
+
+def state_shardings(mesh: Mesh, state, shard_history: bool):
+    """Sharding pytree matching a TrainState: params/opt replicated,
+    histories optionally row-sharded along the node dimension."""
+    import jax.tree_util as jtu
+    from ..training.step import TrainState
+
+    repl = replicated(mesh)
+    hist_sh = row_sharded(mesh) if shard_history else repl
+    return TrainState(
+        params=jtu.tree_map(lambda _: repl, state.params),
+        opt_state=jtu.tree_map(lambda _: repl, state.opt_state),
+        histories=jtu.tree_map(lambda _: hist_sh, state.histories),
+        step=repl,
+    )
+
+
 def make_sharded_train_step(cfg, spec, degrees: Tuple[int, ...],
-                            num_nodes: int, mesh: Mesh):
+                            num_nodes: int, mesh: Mesh,
+                            state_template=None,
+                            shard_history: bool = False):
     """Data-parallel version of :func:`training.step.make_train_step`.
 
     Sharding layout:
-      state (params/opt/history) — replicated; the functional history scatter
-        from the sharded batch becomes an XLA all-gather + identical update
-        on every chip, keeping replicas bit-identical.
-      graph/features/labels/importance — replicated (round-1 layout; the
-        [N, d] history/feature shard-by-node layout lands with halo exchange).
+      params/opt — replicated (gradient all-reduce inserted by GSPMD).
+      histories — replicated by default; with ``shard_history`` the
+        per-layer [N+1, d] buffers are sharded along the NODE dimension
+        (each chip owns N/P history rows — the memory-scaling layout from
+        SURVEY.md §5.8; GSPMD routes the row gathers/scatter, a custom
+        halo-exchange kernel is the round-2 optimization).
+      graph/features/labels/importance — replicated.
       batch_ids — sharded along the 'data' axis.
     """
     from ..training.step import build_train_step
@@ -58,10 +83,14 @@ def make_sharded_train_step(cfg, spec, degrees: Tuple[int, ...],
     shard = batch_sharded(mesh)
     inner = build_train_step(cfg, spec, degrees, num_nodes)
 
+    if state_template is not None:
+        st_sh = state_shardings(mesh, state_template, shard_history)
+    else:
+        st_sh = repl
     return jax.jit(
         inner,
-        in_shardings=(repl, repl, repl, repl, repl, shard, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(st_sh, repl, repl, repl, repl, shard, repl),
+        out_shardings=(st_sh, repl),
         donate_argnums=(0,),
     )
 

@@ -48,23 +48,29 @@ def init_train_state(key: jax.Array, cfg: Config, spec: M.ModelSpec,
                      num_nodes: int) -> TrainState:
     params = M.init_params(key, spec)
     tx = make_optimizer(cfg)
+    row_multiple = max(8, cfg.dp)
     return TrainState(params=params, opt_state=tx.init(params),
-                      histories=M.init_histories(spec, num_nodes),
+                      histories=M.init_histories(spec, num_nodes,
+                                                 row_multiple),
                       step=jnp.zeros((), jnp.int32))
 
 
 def scatter_histories(histories, new_histories, fields, num_nodes: int):
     """history[field_l] <- new rows; functional tf.scatter_update
     (gcn/models.py:160-166).  Fields are unique per layer (compaction), so
-    the scatter is deterministic; the sentinel row is re-zeroed."""
+    the scatter is deterministic.
+
+    Sentinel-padded field entries write garbage into row N, which is safe:
+    every read of row N downstream is either masked by a zero edge weight
+    (full-neighborhood term) or feeds rows whose contributions are masked
+    (delta term), so no reset scatter is spent on it."""
     out = []
     for hist_l, new_l, field_l in zip(histories, new_histories, fields):
         if new_l is None:
             out.append(hist_l)
             continue
-        updated = tuple(
-            h.at[field_l].set(nh).at[num_nodes].set(0.0)
-            for h, nh in zip(hist_l, new_l))
+        updated = tuple(h.at[field_l].set(nh)
+                        for h, nh in zip(hist_l, new_l))
         out.append(updated)
     return tuple(out)
 

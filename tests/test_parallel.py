@@ -28,14 +28,18 @@ def setup():
     return cfg, ds
 
 
-def _run_step(cfg, ds, mesh_devices):
+def _run_step(cfg, ds, mesh_devices, shard_history=False):
+    from stochastic_gcn_tpu.parallel.mesh import state_shardings
     tr = Trainer(cfg, ds)
     mesh = make_mesh(mesh_devices)
     step = make_sharded_train_step(cfg, tr.train_spec, tr.train_degrees,
-                                   ds.num_data, mesh)
+                                   ds.num_data, mesh,
+                                   state_template=tr.state,
+                                   shard_history=shard_history)
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P("data"))
-    state = jax.device_put(tr.state, repl)
+    state = jax.device_put(tr.state,
+                           state_shardings(mesh, tr.state, shard_history))
     args = [jax.device_put(x, repl) for x in
             (tr.graph_train, tr.train_features, tr.labels,
              tr.importance_train)]
@@ -79,6 +83,25 @@ def test_sharded_step_matches_single_device(setup):
                     jax.tree_util.tree_leaves(s8.histories)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_sharded_history_matches_replicated(setup):
+    """Node-sharded history layout (each chip owns N/P rows) produces the
+    same training step results as the replicated layout."""
+    cfg, ds = setup
+    n_dev = len(jax.devices())
+    s_rep, m_rep = _run_step(cfg, ds, n_dev, shard_history=False)
+    s_sh, m_sh = _run_step(cfg, ds, n_dev, shard_history=True)
+    np.testing.assert_allclose(float(m_rep["loss"]), float(m_sh["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_rep.histories),
+                    jax.tree_util.tree_leaves(s_sh.histories)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+    # the sharded layout actually shards: per-device shard rows < N+1
+    h0 = jax.tree_util.tree_leaves(s_sh.histories)[0]
+    shard_rows = [s.data.shape[0] for s in h0.addressable_shards]
+    assert max(shard_rows) < h0.shape[0]
 
 
 def test_sharded_multiple_steps(setup):
