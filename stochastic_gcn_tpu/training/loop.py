@@ -70,8 +70,11 @@ class Trainer:
         if cfg.pad_degree != -1:
             train_adj = cap_adj_degree(train_adj, cfg.pad_degree, cfg.seed)
             full_adj = cap_adj_degree(full_adj, cfg.pad_degree, cfg.seed)
-        self.graph_train = pad_csr(train_adj, cfg.pad_degree)
-        self.graph_full = pad_csr(full_adj, cfg.pad_degree)
+        # pad each graph to its own true (post-cap) max degree: the
+        # full-neighborhood gather is row-issue-rate bound, so tighter
+        # padding directly cuts the CV step's dominant cost
+        self.graph_train = pad_csr(train_adj, -1)
+        self.graph_full = pad_csr(full_adj, -1)
 
         # model specs: shared params, different estimator wiring
         # (train.py:107-119)
