@@ -92,6 +92,9 @@ class ModelSpec:
     multitask: bool
     history_dims: Tuple[int, ...]
     n_history_per_layer: int
+    # (input_dim*output_dim, field index) per FC block — the FLOP
+    # bookkeeping of gcn/models.py:299,336 (layer_comp)
+    layer_comp: Tuple[Tuple[int, int], ...] = ()
 
 
 def build_model_spec(cfg: Config, input_dim: int, output_dim: int,
@@ -108,6 +111,7 @@ def build_model_spec(cfg: Config, input_dim: int, output_dim: int,
     dim_s = 1 if cfg.normalization == "gcn" else 2
 
     specs: list[LayerSpec] = []
+    layer_comp: list[tuple[int, int]] = []
     cnt = 0
 
     if preprocess:
@@ -116,6 +120,7 @@ def build_model_spec(cfg: Config, input_dim: int, output_dim: int,
             sp = sparse_input if l == 0 else False
             last = (n_agg == 0 and l + 1 == cfg.num_fc_layers)
             out_dim = output_dim if last else cfg.hidden1
+            layer_comp.append((in_dim * cfg.hidden1, 0))
             if cfg.det_dropout:
                 # NOTE: reference hardwires output_dim=hidden1 and
                 # norm=layer_norm here (models.py:276-282); preserved.
@@ -141,6 +146,7 @@ def build_model_spec(cfg: Config, input_dim: int, output_dim: int,
             last = (l2 + 1 == cfg.num_fc_layers and l + 1 == n_agg)
             out_dim = output_dim if last else cfg.hidden1
             norm = False if last else cfg.layer_norm
+            layer_comp.append((in_dim * out_dim, l + 1))
             if cfg.det_dropout and l + 1 != n_agg:
                 specs.append(DetFCSpec(f"dense{cnt}", in_dim, out_dim, norm))
             elif cvd and l + 1 != n_agg:
@@ -165,7 +171,8 @@ def build_model_spec(cfg: Config, input_dim: int, output_dim: int,
         output_dim=output_dim, cv=cv, cvd=cvd,
         det_dropout=cfg.det_dropout, normalization=cfg.normalization,
         multitask=cfg.multitask, history_dims=hist_dims,
-        n_history_per_layer=2 if cfg.det_dropout else 1)
+        n_history_per_layer=2 if cfg.det_dropout else 1,
+        layer_comp=tuple(layer_comp))
 
 
 # ----------------------------- parameters ---------------------------------

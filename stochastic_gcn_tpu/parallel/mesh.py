@@ -95,6 +95,47 @@ def make_sharded_train_step(cfg, spec, degrees: Tuple[int, ...],
     )
 
 
+def make_sharded_train_epoch(cfg, spec, degrees: Tuple[int, ...],
+                             num_nodes: int, mesh: Mesh, state_template,
+                             shard_history: bool = False):
+    """Sharded whole-epoch scan (see training/step.py::make_train_epoch):
+    the [S, B] batch matrix is sharded along B over the 'data' axis."""
+    from ..training.step import build_train_epoch
+
+    repl = replicated(mesh)
+    bm_sh = NamedSharding(mesh, P(None, "data"))
+    st_sh = state_shardings(mesh, state_template, shard_history)
+    inner = build_train_epoch(cfg, spec, degrees, num_nodes)
+
+    return jax.jit(
+        inner,
+        in_shardings=(st_sh, repl, repl, repl, repl, bm_sh, repl),
+        out_shardings=(st_sh, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_sharded_eval_epoch(cfg, spec, degrees: Tuple[int, ...],
+                            num_nodes: int, mesh: Mesh, hist_template,
+                            shard_history: bool = False):
+    import jax.tree_util as jtu
+    from ..training.step import build_eval_epoch
+
+    repl = replicated(mesh)
+    bm_sh = NamedSharding(mesh, P(None, "data"))
+    hist_sh = jtu.tree_map(
+        lambda _: row_sharded(mesh) if shard_history else repl,
+        hist_template)
+    inner = build_eval_epoch(cfg, spec, degrees, num_nodes)
+
+    return jax.jit(
+        inner,
+        in_shardings=(repl, hist_sh, repl, repl, repl, repl, bm_sh, repl),
+        out_shardings=(hist_sh, repl),
+        donate_argnums=(1,),
+    )
+
+
 def pad_batch_for_mesh(batch: np.ndarray, n_devices: int,
                        num_nodes: int) -> np.ndarray:
     """Pad a batch so its length divides the mesh size (sentinel padding)."""

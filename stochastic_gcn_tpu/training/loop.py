@@ -117,10 +117,30 @@ class Trainer:
                                              self.train_degrees, n)
         self._eval_step = S.make_eval_step(cfg, self.test_spec,
                                            self.test_degrees, n)
-        self._train_epoch = S.make_train_epoch(cfg, self.train_spec,
-                                               self.train_degrees, n)
-        self._eval_epoch = S.make_eval_epoch(cfg, self.test_spec,
-                                             self.test_degrees, n)
+        if cfg.dp > 1:
+            # data-parallel epoch runners over a ('data',) mesh: batch
+            # sharded, history rows sharded along the node dimension,
+            # params replicated with GSPMD gradient all-reduce
+            from ..parallel.mesh import (make_mesh, make_sharded_eval_epoch,
+                                         make_sharded_train_epoch,
+                                         state_shardings)
+            if cfg.batch_size % cfg.dp or cfg.test_batch_size % cfg.dp:
+                raise ValueError("batch sizes must divide --dp")
+            self.mesh = make_mesh(cfg.dp)
+            self._train_epoch = make_sharded_train_epoch(
+                cfg, self.train_spec, self.train_degrees, n, self.mesh,
+                state_template=self.state, shard_history=True)
+            self._eval_epoch = make_sharded_eval_epoch(
+                cfg, self.test_spec, self.test_degrees, n, self.mesh,
+                hist_template=self.eval_histories, shard_history=True)
+            self.state = jax.device_put(
+                self.state, state_shardings(self.mesh, self.state, True))
+        else:
+            self.mesh = None
+            self._train_epoch = S.make_train_epoch(cfg, self.train_spec,
+                                                   self.train_degrees, n)
+            self._eval_epoch = S.make_eval_epoch(cfg, self.test_spec,
+                                                 self.test_degrees, n)
         self.train_iter = MinibatchIterator(ds.train_d, cfg.batch_size, n,
                                             cfg.seed)
         self.cost_val: list[float] = []
@@ -157,7 +177,27 @@ class Trainer:
         loss = float(metrics["loss"])
         acc = float(metrics["accuracy"])
         self.amt_data = int(metrics["amt_data"])
+        self._record_epoch_stats(metrics, time.time() - t0)
         return loss, acc, time.time() - t0, bm.shape[0]
+
+    def _record_epoch_stats(self, metrics, run_t: float):
+        """FLOP/size accounting per epoch (gcn/vrgcn.py:50-69): sparse ops
+        g_ops = (adj + fadj nnz) * dim * 4, dense ops nn_ops =
+        sum(layer_comp * field size) * 4, each doubled under cvd."""
+        spec = self.train_spec
+        field_sizes = np.asarray(metrics["field_sizes"])
+        adj_sizes = np.asarray(metrics["adj_sizes"])
+        fadj_sizes = np.asarray(metrics["fadj_sizes"])
+        mult = 2 if spec.cvd else 1
+        g_ops = 0.0
+        for l in range(spec.num_agg_layers):
+            dim = spec.agg0_dim if l == 0 else self.cfg.hidden1
+            g_ops += float(adj_sizes[l] + fadj_sizes[l]) * dim * 4 * mult
+        nn_ops = sum(comp * float(field_sizes[idx]) * 4 * mult
+                     for comp, idx in spec.layer_comp)
+        self.epoch_stats = dict(run_t=run_t, g_t=0.0, g_ops=g_ops,
+                                nn_ops=nn_ops, field_sizes=field_sizes,
+                                adj_sizes=adj_sizes, fadj_sizes=fadj_sizes)
 
     def evaluate(self, data_ids):
         """Batched evaluation as one on-device scan (train.py:133-160).
@@ -200,6 +240,15 @@ class Trainer:
                 f"mi F1={micro:.5f} ma F1={macro:.5f}  "
                 f"time= {ttime:.5f} ttime= {duration:.5f} "
                 f"data = {self.amt_data}")
+            if self.epoch_stats:
+                es = self.epoch_stats
+                g = float(2 ** 30)
+                log(f"TF time = {es['run_t']}, g time = {es['g_t']}, "
+                    f"G GFLOPS = {es['g_ops'] / g}, "
+                    f"NN GFLOPS = {es['nn_ops'] / g}, "
+                    f"field sizes = {es['field_sizes']}, "
+                    f"adj sizes = {es['adj_sizes']}, "
+                    f"fadj sizes = {es['fadj_sizes']}")
             if (epoch > cfg.early_stopping and
                     self.cost_val[-1] > np.mean(
                         self.cost_val[-(cfg.early_stopping + 1):-1])):

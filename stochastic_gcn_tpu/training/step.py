@@ -75,14 +75,25 @@ def scatter_histories(histories, new_histories, fields, num_nodes: int):
     return tuple(out)
 
 
-def _batch_stats(pack: BatchFields, num_nodes: int):
-    """amt_data / field-size accounting (gcn/vrgcn.py:50-69)."""
-    amt = sum(jnp.sum((ls.slot_w != 0).astype(jnp.int32))
-              for ls in pack.layers) if pack.layers else jnp.zeros((), jnp.int32)
+def _batch_stats(pack: BatchFields, graph, num_nodes: int, cv: bool):
+    """amt_data / field / adjacency-size accounting (gcn/vrgcn.py:50-69):
+    adj_sizes[l] = sampled edges of layer l, fadj_sizes[l] = full-
+    neighborhood edges (CV only), field_sizes[l] = real nodes in field l."""
+    if not pack.layers:
+        z = jnp.zeros((0,), jnp.int32)
+        return jnp.zeros((), jnp.int32), z, z, z
+    adj_sizes = jnp.stack([jnp.sum((ls.slot_w != 0).astype(jnp.int32))
+                           for ls in pack.layers])
+    amt = jnp.sum(adj_sizes)
     field_sizes = jnp.stack(
-        [jnp.sum((f < num_nodes).astype(jnp.int32)) for f in pack.fields]) \
-        if pack.fields else jnp.zeros((0,), jnp.int32)
-    return amt, field_sizes
+        [jnp.sum((f < num_nodes).astype(jnp.int32)) for f in pack.fields])
+    if cv:
+        fadj_sizes = jnp.stack(
+            [jnp.sum(jnp.take(graph.deg, f, axis=0))
+             for f in pack.fields[1:]])
+    else:
+        fadj_sizes = jnp.zeros((len(pack.layers),), jnp.int32)
+    return amt, field_sizes, adj_sizes, fadj_sizes
 
 
 def build_train_step(cfg: Config, spec: M.ModelSpec,
@@ -118,11 +129,14 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
         params = optax.apply_updates(state.params, updates)
         histories = scatter_histories(state.histories, new_h,
                                       pack.fields[:-1], num_nodes)
-        amt, field_sizes = _batch_stats(pack, num_nodes)
+        amt, field_sizes, adj_sizes, fadj_sizes = _batch_stats(
+            pack, graph, num_nodes, spec.cv)
         new_state = TrainState(params=params, opt_state=opt_state,
                                histories=histories, step=state.step + 1)
         return new_state, {"loss": loss, "accuracy": acc, "amt_data": amt,
-                           "field_sizes": field_sizes}
+                           "field_sizes": field_sizes,
+                           "adj_sizes": adj_sizes,
+                           "fadj_sizes": fadj_sizes}
 
     return _step
 
@@ -134,8 +148,8 @@ def make_train_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
     return jax.jit(_step, donate_argnums=(0,) if donate else ())
 
 
-def make_train_epoch(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
-                     num_nodes: int):
+def build_train_epoch(cfg: Config, spec: M.ModelSpec,
+                      degrees: Tuple[int, ...], num_nodes: int):
     """Whole-epoch runner: ``lax.scan`` of the train step over a [S, B]
     batch-id matrix.
 
@@ -153,17 +167,28 @@ def make_train_epoch(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
         def body(st, batch_ids):
             st, m = _step(st, graph, features, labels, importance,
                           batch_ids, key)
-            return st, (m["loss"], m["accuracy"], m["amt_data"])
+            return st, (m["loss"], m["accuracy"], m["amt_data"],
+                        m["field_sizes"], m["adj_sizes"], m["fadj_sizes"])
 
-        state, (losses, accs, amts) = jax.lax.scan(body, state, batch_matrix)
+        state, (losses, accs, amts, fs, adjs, fadjs) = jax.lax.scan(
+            body, state, batch_matrix)
         return state, {"loss": losses[-1], "accuracy": accs[-1],
-                       "amt_data": jnp.sum(amts)}
+                       "amt_data": jnp.sum(amts),
+                       "field_sizes": jnp.sum(fs, axis=0),
+                       "adj_sizes": jnp.sum(adjs, axis=0),
+                       "fadj_sizes": jnp.sum(fadjs, axis=0)}
 
-    return jax.jit(_epoch, donate_argnums=(0,))
+    return _epoch
 
 
-def make_eval_epoch(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
-                    num_nodes: int):
+def make_train_epoch(cfg: Config, spec: M.ModelSpec,
+                     degrees: Tuple[int, ...], num_nodes: int):
+    return jax.jit(build_train_epoch(cfg, spec, degrees, num_nodes),
+                   donate_argnums=(0,))
+
+
+def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
+                     degrees: Tuple[int, ...], num_nodes: int):
     """Whole-evaluation runner: scan of the eval step over [S, B] batch ids;
     returns per-batch losses/accuracies and stacked predictions with ONE
     host sync (train.py:133-160 equivalent)."""
@@ -202,7 +227,13 @@ def make_eval_epoch(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
         return histories, {"losses": losses, "accs": accs, "preds": preds,
                            "nvalid": nvalid}
 
-    return jax.jit(_epoch, donate_argnums=(1,))
+    return _epoch
+
+
+def make_eval_epoch(cfg: Config, spec: M.ModelSpec,
+                    degrees: Tuple[int, ...], num_nodes: int):
+    return jax.jit(build_eval_epoch(cfg, spec, degrees, num_nodes),
+                   donate_argnums=(1,))
 
 
 def make_eval_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],

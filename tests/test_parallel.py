@@ -104,6 +104,26 @@ def test_sharded_history_matches_replicated(setup):
     assert max(shard_rows) < h0.shape[0]
 
 
+def test_trainer_dp_mode(setup):
+    """Trainer with --dp N runs sharded epoch/eval end-to-end and matches
+    the learning behavior of single-device mode."""
+    cfg, ds = setup
+    cfg8 = cfg.replace(dp=len(jax.devices()), batch_size=32,
+                       test_batch_size=64)
+    tr = Trainer(cfg8, ds)
+    loss0, acc0, _, _ = tr.train_epoch()
+    assert np.isfinite(loss0)
+    ev = tr.evaluate(ds.val_d)
+    assert np.isfinite(ev[0])
+    # history sharded across devices
+    h0 = jax.tree_util.tree_leaves(tr.state.histories)[0]
+    assert max(s.data.shape[0] for s in h0.addressable_shards) < h0.shape[0]
+    # a few epochs reduce the loss
+    for _ in range(5):
+        loss, *_ = tr.train_epoch()
+    assert loss < loss0 * 1.5
+
+
 def test_sharded_multiple_steps(setup):
     cfg, ds = setup
     tr = Trainer(cfg, ds)
