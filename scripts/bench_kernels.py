@@ -50,11 +50,16 @@ def main():
         idx = jnp.asarray(rng.integers(0, n, (f, k)).astype(np.int32))
         w = jnp.asarray(rng.random((f, k)).astype(np.float32))
         log(f"--- {tag}")
-        # numerical check once
+        # numerical check once, against float64 ground truth (XLA's default-
+        # precision einsum reduces in bf16 passes and is itself inexact)
         try:
+            truth = np.einsum(
+                "fk,fkd->fd", np.asarray(w, np.float64),
+                np.asarray(table)[np.asarray(idx)].astype(np.float64))
             a = PS.hbm_gather_aggregate_xla(table, idx, w)
             b = PS.hbm_gather_aggregate(table, idx, w)
-            log(f"  max err {float(jnp.max(jnp.abs(a - b))):.2e}")
+            log(f"  xla  vs f64: {np.abs(np.asarray(a)-truth).max():.2e}")
+            log(f"  plls vs f64: {np.abs(np.asarray(b)-truth).max():.2e}")
         except Exception as e:
             log(f"  pallas failed: {type(e).__name__}: "
                 f"{str(e).splitlines()[0][:150]}")

@@ -11,13 +11,23 @@ chains of models/aggregators.py (the TPU re-design of the reference's
 
 * :func:`hbm_gather_aggregate` — the CV full-neighborhood term
   ``out[f] = sum_s w[f,s] * table[idx[f,s]]`` streaming rows of an
-  HBM-resident table ([N+1, d] history) through a double-buffered DMA
-  pipeline, accumulating in VMEM.  XLA's gather for this shape runs far
-  below HBM bandwidth; the kernel keeps many row DMAs in flight.
+  HBM-resident table ([N+1, d] history) through a pipelined DMA ring,
+  accumulating in VMEM.
 
-Indices AND weights ride the scalar-prefetch path (SMEM): Mosaic cannot do
-dynamic scalar loads from a VMEM tile's lane dimension ("index in dimension
-1 is a multiple of 128" errors), but SMEM scalar reads are free-form.
+Index/weight handling: Mosaic can neither do dynamic scalar loads from a
+VMEM tile's lane dimension nor hold [F, Dcap]-sized arrays in SMEM via
+scalar prefetch (SMEM budget).  So idx/w stay in HBM/ANY and each grid step
+DMAs its OWN tile into SMEM scratch before the gather loop — the canonical
+pattern for data-dependent addressing at scale.
+
+Measured on TPU v5e (scripts/bench_kernels.py): the HBM streaming kernel
+is ~3x slower than XLA's native gather+einsum (row-DMA issue overhead vs
+the hardware gather path) but ~5000x MORE ACCURATE — XLA's default-
+precision einsum reduces in bf16 passes (6.4e-2 abs err vs f64 truth at
+Dcap=128) while the kernel accumulates in true f32 (1.2e-5).  The model
+keeps the fast XLA path by default (the CV estimator tolerates the noise —
+history is a control variate, any h̄ keeps it unbiased); the kernel is the
+full-precision option and the base for the fused-CV work in ROADMAP.md.
 
 Both have `interpret=True` paths used by the CPU test-suite; numerical
 equality vs the jnp reference implementations is covered in
@@ -38,20 +48,31 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _load_tile_to_smem(src_ref, smem_ref, sem, tile_start, size):
+    """DMA a [size] slice of a 1-D HBM array into SMEM scratch."""
+    cp = pltpu.make_async_copy(
+        src_ref.at[pl.ds(tile_start, size)], smem_ref, sem)
+    cp.start()
+    cp.wait()
+
+
 # ---------------------------------------------------------------------------
 # fanout_aggregate: VMEM-resident gather-aggregate
 # ---------------------------------------------------------------------------
 
-def _fanout_kernel(pos_ref, w_ref, x_ref, o_ref, *, tf: int, k: int):
+def _fanout_kernel(pos_hbm, w_hbm, x_ref, o_ref, pos_s, w_s, sems, *,
+                   tf: int, k: int):
     i = pl.program_id(0)
+    total = tf * k
+    _load_tile_to_smem(pos_hbm, pos_s, sems.at[0], i * total, total)
+    _load_tile_to_smem(w_hbm, w_s, sems.at[1], i * total, total)
 
     def row_body(r, _):
-        base = (i * tf + r) * k
-
         def slot_body(s, acc):
-            p = pos_ref[base + s]
+            j = r * k + s
+            p = pos_s[j]
             row = x_ref[pl.ds(p, 1), :]            # [1, d] VMEM read
-            return acc + w_ref[base + s] * row
+            return acc + w_s[j] * row
 
         acc0 = jnp.zeros((1, x_ref.shape[1]), jnp.float32)
         acc = jax.lax.fori_loop(0, k, slot_body, acc0)
@@ -75,20 +96,24 @@ def fanout_aggregate(x: jax.Array, pos: jax.Array, w: jax.Array,
     if f_pad != f:
         pos = jnp.pad(pos, ((0, f_pad - f), (0, 0)))
         w = jnp.pad(w, ((0, f_pad - f), (0, 0)))
+    total = tf * k
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,                      # pos, w in SMEM
-        grid=(f_pad // tf,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # x (whole array)
-        ],
-        out_specs=pl.BlockSpec((tf, d), lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )
     out = pl.pallas_call(
         functools.partial(_fanout_kernel, tf=tf, k=k),
-        grid_spec=grid_spec,
+        grid=(f_pad // tf,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # pos (flat, in HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # w (flat, in HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x (whole array)
+        ],
+        out_specs=pl.BlockSpec((tf, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((f_pad, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((total,), jnp.int32),
+            pltpu.SMEM((total,), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
     )(pos.reshape(-1), w.reshape(-1), x)
     return out[:f]
@@ -98,42 +123,45 @@ def fanout_aggregate(x: jax.Array, pos: jax.Array, w: jax.Array,
 # hbm_gather_aggregate: streaming gather-aggregate over an HBM table
 # ---------------------------------------------------------------------------
 
-_NBUF = 16  # DMA pipeline depth
+_NBUF = 16  # DMA ring depth
 
 
-def _hbm_kernel(idx_ref, w_ref, table_ref, o_ref, scratch, sems, *,
-                tf: int, k: int):
+def _hbm_kernel(idx_hbm, w_hbm, table_ref, o_ref, idx_s, w_s, io_sems,
+                scratch, sems, *, tf: int, k: int):
     i = pl.program_id(0)
     total = tf * k
+    _load_tile_to_smem(idx_hbm, idx_s, io_sems.at[0], i * total, total)
+    _load_tile_to_smem(w_hbm, w_s, io_sems.at[1], i * total, total)
 
     def get_dma(j):
         slot = j % _NBUF
-        p = idx_ref[i * total + j]
+        p = idx_s[j]
         return pltpu.make_async_copy(
             table_ref.at[pl.ds(p, 1), :],
             scratch.at[slot],
             sems.at[slot],
         )
 
+    # NBUF-1 DMAs in flight: the refill for j+NBUF-1 lands in the slot
+    # consumed one iteration earlier ((j-1) % NBUF) — defensive slack
+    # between the VMEM read of a slot and the DMA that overwrites it.
     def warm(j, _):
         @pl.when(j < total)
         def _():
             get_dma(j).start()
         return 0
 
-    jax.lax.fori_loop(0, _NBUF, warm, 0)
+    jax.lax.fori_loop(0, _NBUF - 1, warm, 0)
 
     def row_body(r, _):
         def slot_body(s, acc):
             j = r * k + s
             get_dma(j).wait()
-            acc = acc + w_ref[i * total + j] * scratch[j % _NBUF]
+            acc = acc + w_s[j] * scratch[j % _NBUF]
 
-            # refill this slot only AFTER consuming it (j+NBUF maps to the
-            # same scratch slot as j)
-            @pl.when(j + _NBUF < total)
+            @pl.when(j + _NBUF - 1 < total)
             def _():
-                get_dma(j + _NBUF).start()
+                get_dma(j + _NBUF - 1).start()
 
             return acc
 
@@ -161,24 +189,26 @@ def hbm_gather_aggregate(table: jax.Array, idx: jax.Array, w: jax.Array,
     if f_pad != f:
         idx = jnp.pad(idx, ((0, f_pad - f), (0, 0)))
         w = jnp.pad(w, ((0, f_pad - f), (0, 0)))
+    total = tf * k
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,                      # idx, w in SMEM
+    out = pl.pallas_call(
+        functools.partial(_hbm_kernel, tf=tf, k=k),
         grid=(f_pad // tf,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # table stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),    # idx (flat, in HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # w (flat, in HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # table stays in HBM
         ],
-        out_specs=pl.BlockSpec((tf, d), lambda i, *_: (i, 0),
+        out_specs=pl.BlockSpec((tf, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((f_pad, d), jnp.float32),
         scratch_shapes=[
+            pltpu.SMEM((total,), jnp.int32),
+            pltpu.SMEM((total,), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((_NBUF, 1, d), jnp.float32),
             pltpu.SemaphoreType.DMA((_NBUF,)),
         ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_hbm_kernel, tf=tf, k=k),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((f_pad, d), jnp.float32),
         interpret=interpret,
     )(idx.reshape(-1), w.reshape(-1), table)
     return out[:f]
