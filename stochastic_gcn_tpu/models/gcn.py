@@ -20,7 +20,7 @@ different ModelSpec (cv/cvd/preprocess flags) + different graph/history.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple, Union
 
 import jax
@@ -248,7 +248,6 @@ def forward(params: dict, spec: ModelSpec, pack: BatchFields,
         # no sparse-capable first layer (e.g. aggregator first): densify,
         # mirroring the reference's sparse_to_dense fallback
         # (gcn/models.py:128-133)
-        w_eye = None
         dense = jnp.zeros((h.idx.shape[0], h.dim), jnp.float32)
         rows = jnp.arange(h.idx.shape[0])[:, None]
         safe = jnp.minimum(h.idx, h.dim - 1)

@@ -48,12 +48,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+_ALIGN = 1024  # 1-D HBM arrays are tiled at 1024 elements; DMA slices must
+               # start and size on this boundary
+
+
 def _load_tile_to_smem(src_ref, smem_ref, sem, tile_start, size):
-    """DMA a [size] slice of a 1-D HBM array into SMEM scratch."""
+    """DMA a [size] slice of a 1-D HBM array into SMEM scratch.
+    ``tile_start`` and ``size`` must be _ALIGN-aligned."""
     cp = pltpu.make_async_copy(
         src_ref.at[pl.ds(tile_start, size)], smem_ref, sem)
     cp.start()
     cp.wait()
+
+
+def _tile_flatten(a2d, n_tiles: int, total: int):
+    """[F, K]-shaped per-tile data -> flat array where tile i occupies
+    [i*total_pad, i*total_pad + total) with _ALIGN-aligned stride."""
+    total_pad = _round_up(total, _ALIGN)
+    a = a2d.reshape(n_tiles, total)
+    if total_pad != total:
+        a = jnp.pad(a, ((0, 0), (0, total_pad - total)))
+    return a.reshape(-1), total_pad
 
 
 # ---------------------------------------------------------------------------
@@ -61,11 +76,10 @@ def _load_tile_to_smem(src_ref, smem_ref, sem, tile_start, size):
 # ---------------------------------------------------------------------------
 
 def _fanout_kernel(pos_hbm, w_hbm, x_ref, o_ref, pos_s, w_s, sems, *,
-                   tf: int, k: int):
+                   tf: int, k: int, total_pad: int):
     i = pl.program_id(0)
-    total = tf * k
-    _load_tile_to_smem(pos_hbm, pos_s, sems.at[0], i * total, total)
-    _load_tile_to_smem(w_hbm, w_s, sems.at[1], i * total, total)
+    _load_tile_to_smem(pos_hbm, pos_s, sems.at[0], i * total_pad, total_pad)
+    _load_tile_to_smem(w_hbm, w_s, sems.at[1], i * total_pad, total_pad)
 
     def row_body(r, _):
         def slot_body(s, acc):
@@ -97,10 +111,13 @@ def fanout_aggregate(x: jax.Array, pos: jax.Array, w: jax.Array,
         pos = jnp.pad(pos, ((0, f_pad - f), (0, 0)))
         w = jnp.pad(w, ((0, f_pad - f), (0, 0)))
     total = tf * k
+    n_tiles = f_pad // tf
+    pos_flat, total_pad = _tile_flatten(pos, n_tiles, total)
+    w_flat, _ = _tile_flatten(w, n_tiles, total)
 
     out = pl.pallas_call(
-        functools.partial(_fanout_kernel, tf=tf, k=k),
-        grid=(f_pad // tf,),
+        functools.partial(_fanout_kernel, tf=tf, k=k, total_pad=total_pad),
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),    # pos (flat, in HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),    # w (flat, in HBM)
@@ -110,12 +127,12 @@ def fanout_aggregate(x: jax.Array, pos: jax.Array, w: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((f_pad, d), jnp.float32),
         scratch_shapes=[
-            pltpu.SMEM((total,), jnp.int32),
-            pltpu.SMEM((total,), jnp.float32),
+            pltpu.SMEM((total_pad,), jnp.int32),
+            pltpu.SMEM((total_pad,), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(pos.reshape(-1), w.reshape(-1), x)
+    )(pos_flat, w_flat, x)
     return out[:f]
 
 
@@ -127,11 +144,12 @@ _NBUF = 16  # DMA ring depth
 
 
 def _hbm_kernel(idx_hbm, w_hbm, table_ref, o_ref, idx_s, w_s, io_sems,
-                scratch, sems, *, tf: int, k: int):
+                scratch, sems, *, tf: int, k: int, total_pad: int):
     i = pl.program_id(0)
     total = tf * k
-    _load_tile_to_smem(idx_hbm, idx_s, io_sems.at[0], i * total, total)
-    _load_tile_to_smem(w_hbm, w_s, io_sems.at[1], i * total, total)
+    _load_tile_to_smem(idx_hbm, idx_s, io_sems.at[0], i * total_pad,
+                       total_pad)
+    _load_tile_to_smem(w_hbm, w_s, io_sems.at[1], i * total_pad, total_pad)
 
     def get_dma(j):
         slot = j % _NBUF
@@ -190,10 +208,13 @@ def hbm_gather_aggregate(table: jax.Array, idx: jax.Array, w: jax.Array,
         idx = jnp.pad(idx, ((0, f_pad - f), (0, 0)))
         w = jnp.pad(w, ((0, f_pad - f), (0, 0)))
     total = tf * k
+    n_tiles = f_pad // tf
+    idx_flat, total_pad = _tile_flatten(idx, n_tiles, total)
+    w_flat, _ = _tile_flatten(w, n_tiles, total)
 
     out = pl.pallas_call(
-        functools.partial(_hbm_kernel, tf=tf, k=k),
-        grid=(f_pad // tf,),
+        functools.partial(_hbm_kernel, tf=tf, k=k, total_pad=total_pad),
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),    # idx (flat, in HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),    # w (flat, in HBM)
@@ -203,14 +224,14 @@ def hbm_gather_aggregate(table: jax.Array, idx: jax.Array, w: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((f_pad, d), jnp.float32),
         scratch_shapes=[
-            pltpu.SMEM((total,), jnp.int32),
-            pltpu.SMEM((total,), jnp.float32),
+            pltpu.SMEM((total_pad,), jnp.int32),
+            pltpu.SMEM((total_pad,), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((_NBUF, 1, d), jnp.float32),
             pltpu.SemaphoreType.DMA((_NBUF,)),
         ],
         interpret=interpret,
-    )(idx.reshape(-1), w.reshape(-1), table)
+    )(idx_flat, w_flat, table)
     return out[:f]
 
 

@@ -19,12 +19,12 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..data.graph import (Dataset, PaddedSparseFeatures, dense_rows, pad_csr,
+from ..data.graph import (Dataset, dense_rows, pad_csr,
                           pad_sparse_features)
 from ..data.preprocess import cap_adj_degree
 from ..models import gcn as M
 from ..sampler.scheduler import MinibatchIterator, compute_importance
-from ..utils.metrics import Averager, calc_f1
+from ..utils.metrics import calc_f1
 from . import step as S
 from .checkpoint import load_checkpoint, save_checkpoint
 
