@@ -197,6 +197,25 @@ def first_param_layer(spec: ModelSpec) -> str:
     raise ValueError("model has no parametric layers")
 
 
+def weight_decay_param_names(spec: ModelSpec) -> Tuple[str, Tuple[str, ...]]:
+    """(layer name, param names) the weight decay covers.
+
+    Reference subtlety: ``Dense`` registers only its weights in
+    ``self.vars`` (its layer-norm offset/scale are created inside
+    MyLayerNorm without registration, gcn/layers.py:87-92,113-115), while
+    AugmentedDropoutDense / DetDropoutFC register weights AND offset/scale
+    (layers.py:153-158,376-381) — so the L2 term covers different sets
+    depending on which layer type comes first."""
+    for s in spec.specs:
+        if isinstance(s, DenseSpec):
+            return s.name, ("weights",)
+        if isinstance(s, (AugDenseSpec, DetFCSpec)):
+            names = ("weights", "offset", "scale") if s.norm \
+                else ("weights",)
+            return s.name, names
+    raise ValueError("model has no parametric layers")
+
+
 def init_histories(spec: ModelSpec, num_nodes: int, row_multiple: int = 8
                    ) -> Tuple[Tuple[jax.Array, ...], ...]:
     """Zero history buffers: per agg layer, 1 (or 2 for det_dropout) arrays
@@ -289,11 +308,12 @@ def loss_and_metrics(params: dict, spec: ModelSpec, logits: jax.Array,
     """Loss (gcn/models.py:68-83) and accuracy (models.py:85-94), masked to
     real (non-sentinel-padded) batch rows.
 
-    Weight decay: L2 (sum(w^2)/2, tf.nn.l2_loss semantics) over ALL params of
-    the first parametric layer, matching models.py:71-75.
+    Weight decay: L2 (sum(w^2)/2, tf.nn.l2_loss semantics) over the first
+    parametric layer's REGISTERED vars, matching models.py:71-75 — see
+    :func:`weight_decay_param_names` for which params that covers.
     """
-    first = first_param_layer(spec)
-    wd = sum(jnp.sum(jnp.square(v)) / 2.0 for v in params[first].values())
+    first, names = weight_decay_param_names(spec)
+    wd = sum(jnp.sum(jnp.square(params[first][n])) / 2.0 for n in names)
     loss = weight_decay * wd
 
     nvalid = jnp.maximum(jnp.sum(valid_mask), 1.0)

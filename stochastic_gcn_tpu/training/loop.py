@@ -346,7 +346,14 @@ class Trainer:
             load_history=load_history)
         if load_history:
             self.eval_histories = eval_hist
-        # copy train-side history into the eval-side buffers (train.py:174)
+        # copy train-side history into the eval-side buffers (train.py:174);
+        # only possible when the train/test models have matching history
+        # shapes (same preprocess/estimator settings)
         if self.state.histories and self.eval_histories:
-            self.eval_histories = jax.tree_util.tree_map(
-                lambda h: h, self.state.histories)
+            t_shapes = [h.shape for h in
+                        jax.tree_util.tree_leaves(self.state.histories)]
+            e_shapes = [h.shape for h in
+                        jax.tree_util.tree_leaves(self.eval_histories)]
+            if t_shapes == e_shapes:
+                self.eval_histories = jax.tree_util.tree_map(
+                    lambda h: h, self.state.histories)

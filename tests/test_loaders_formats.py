@@ -16,9 +16,12 @@ from stochastic_gcn_tpu.data.loaders import (load_gcn_data,
 
 
 def write_planetoid_fixture(d, name="cora", n_train=5, n_rest=520,
-                            n_test=8, dim=12, ncls=3, seed=0):
+                            n_test=8, dim=12, ncls=3, seed=0,
+                            isolated=0):
     """Minimal ind.* files.  allx covers train+rest, tx the test nodes;
-    test.index is shuffled to exercise the reorder logic."""
+    test.index is shuffled to exercise the reorder logic.  ``isolated``
+    drops that many ids from test.index (and rows from tx/ty) while the
+    graph still spans the full range — the citeseer isolated-node case."""
     rng = np.random.default_rng(seed)
     n_allx = n_train + n_rest
     n = n_allx + n_test
@@ -36,8 +39,6 @@ def write_planetoid_fixture(d, name="cora", n_train=5, n_rest=520,
     x = allx[:n_train]
     ally = labels(n_allx)
     y = ally[:n_train]
-    tx = feats(n_test)
-    ty = labels(n_test)
     graph = {i: [] for i in range(n)}
     for _ in range(3 * n):
         a, b = rng.integers(0, n, 2)
@@ -45,6 +46,13 @@ def write_planetoid_fixture(d, name="cora", n_train=5, n_rest=520,
             graph[int(a)].append(int(b))
             graph[int(b)].append(int(a))
     test_idx = list(range(n_allx, n))
+    if isolated:
+        # keep the extremes so the contiguous range is preserved; drop
+        # interior ids (their tx/ty rows are absent too)
+        drop = set(test_idx[1:1 + isolated])
+        test_idx = [t for t in test_idx if t not in drop]
+    tx = feats(len(test_idx))
+    ty = labels(len(test_idx))
     rng.shuffle(test_idx)
 
     for nm, obj in [("x", x), ("y", y), ("tx", tx), ("ty", ty),
@@ -81,6 +89,23 @@ def test_planetoid_loader(tmp_path):
     ds2 = load_gcn_data("cora", cfg)
     np.testing.assert_allclose(np.asarray(ds2.feats.todense()),
                                np.asarray(ds.feats.todense()))
+
+
+def test_planetoid_citeseer_isolated_nodes(tmp_path):
+    """citeseer branch (gcn/utils.py:67-76): ids missing from test.index get
+    zero feature/label rows inserted at the right positions."""
+    d = str(tmp_path)
+    n, dim, ncls = write_planetoid_fixture(d, name="citeseer", isolated=3)
+    cfg = Config(dataset="citeseer", data_dir=d)
+    ds = load_gcn_data("citeseer", cfg)
+    assert ds.num_data == n
+    # the three dropped ids (right after the first test id) have zero labels
+    first_test = n - 8
+    missing = [first_test + 1, first_test + 2, first_test + 3]
+    assert np.all(ds.labels[missing] == 0)
+    # present test ids keep nonzero labels
+    assert ds.labels[first_test].sum() == 1
+    assert len(ds.test_d) == 5
 
 
 def test_planetoid_trains_end_to_end(tmp_path):

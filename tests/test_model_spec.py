@@ -94,7 +94,16 @@ def test_num_fc_layers_2():
 
 
 def test_weight_decay_targets_first_param_layer():
+    from stochastic_gcn_tpu.models.gcn import weight_decay_param_names
     cfg = Config(num_layers=2, preprocess=False)
     s = build_model_spec(cfg, 64, 5, False, False, False)
     # first spec is an aggregator (no params) -> first dense carries the wd
     assert first_param_layer(s) == "dense0"
+    # Dense registers only its weights in vars (layers.py:113-115)
+    assert weight_decay_param_names(s) == ("dense0", ("weights",))
+    # Aug/Det layers register offset/scale too (layers.py:153-158,376-381)
+    cfg2 = Config(num_layers=2, preprocess=True, cv=True, cvd=True,
+                  layer_norm=True)
+    s2 = build_model_spec(cfg2, 64, 5, True, True, True)
+    assert weight_decay_param_names(s2) == (
+        "dense0", ("weights", "offset", "scale"))
