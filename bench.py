@@ -145,6 +145,22 @@ def main():
     edges_per_s = amt / dt
     steps = total_steps
 
+    # bf16 history variant (documented TPU option, --history_dtype=bfloat16;
+    # the CV estimator is unbiased for any stored h-bar, so this changes
+    # variance only): halves the dominant full-neighborhood gather bytes
+    tr16 = Trainer(cfg.replace(history_dtype="bfloat16"), ds)
+    bm16 = batch_matrix(300)
+    tr16.state, m16 = tr16._train_epoch(
+        tr16.state, tr16.graph_train, tr16.train_features, tr16.labels,
+        tr16.importance_train, bm16, tr16._next_key())
+    _ = float(m16["loss"])
+    t0 = time.time()
+    tr16.state, m16 = tr16._train_epoch(
+        tr16.state, tr16.graph_train, tr16.train_features, tr16.labels,
+        tr16.importance_train, batch_matrix(300), tr16._next_key())
+    amt16 = int(m16["amt_data"])
+    edges_per_s_bf16 = amt16 / (time.time() - t0)
+
     # secondary: max-throughput batch (per-step cost is latency-bound and
     # nearly batch-independent, so edges/s scales ~linearly with batch)
     big = 4096
@@ -182,6 +198,9 @@ def main():
         "edges_per_s_batch4096": round(edges_per_s_big, 1),
         "vs_baseline_batch4096": round(edges_per_s_big
                                        / REFERENCE_EDGES_PER_S, 3),
+        "edges_per_s_bf16_history": round(edges_per_s_bf16, 1),
+        "vs_baseline_bf16_history": round(edges_per_s_bf16
+                                          / REFERENCE_EDGES_PER_S, 3),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

@@ -80,15 +80,16 @@ class Config:
     # Capacity multiplier for field compaction (safety headroom over the
     # analytic bound min(F*(1+k), N)).
     data_dir: str = "data"
-    # Precision for matmuls: 'float32' (default, matches reference) or
-    # 'bfloat16' for the MXU fast path.
-    matmul_dtype: str = "float32"
+    # Storage dtype for the CV history buffers: 'float32' (default,
+    # reference semantics) or 'bfloat16' (halves HBM + gather traffic; the
+    # CV estimator stays unbiased for any stored h-bar).
+    history_dtype: str = "float32"
     # Number of devices along the data-parallel mesh axis (1 = single chip).
     dp: int = 1
-    # Use the Pallas fused gather-aggregate kernel where available.
-    use_pallas: bool = True
-    # Run full-batch (whole-graph) training instead of minibatch sampling.
-    full_batch: bool = False
+    # Use the Pallas streaming-gather kernel for the CV full-neighborhood
+    # term: true-f32 accumulation (XLA's default-precision einsum reduces
+    # in bf16 passes) at ~3x the op time. Off by default for speed.
+    use_pallas: bool = False
     # Cap on padded nnz/row for sparse feature matrices (NELL-style).
     feat_nnz_cap: int = 1024
     # Directory for checkpoints.

@@ -36,19 +36,28 @@ def fanout_gather(x: jax.Array, slot_pos: jax.Array,
 
 
 def full_neighborhood_mean(hist: jax.Array, graph: PaddedGraph,
-                           field_out: jax.Array,
-                           square: bool = False) -> jax.Array:
+                           field_out: jax.Array, square: bool = False,
+                           use_pallas: bool = False) -> jax.Array:
     """``(Â_full · h̄)[field_out]``: padded full-row contraction.
 
     hist: [N+1, d] device-resident history (zero sentinel row).
     Equivalent to reference ``dot(fadj, gather(hist, ffield))``
     (gcn/layers.py:355).  ``square=True`` uses squared edge weights (the
     det-dropout variance term, gcn/layers.py:338).
+
+    ``use_pallas`` selects the streaming-gather kernel: true-f32
+    accumulation (XLA's default-precision einsum reduces in bf16 passes)
+    at ~3x the op time — see ops/pallas_spmm.py.
     """
     fnbr = jnp.take(graph.nbr, field_out, axis=0)     # [F, Dcap]
     fw = jnp.take(graph.w, field_out, axis=0)
     if square:
         fw = jnp.square(fw)
+    if use_pallas:
+        from ..ops.pallas_spmm import hbm_gather_aggregate
+        interp = jax.default_backend() == "cpu"
+        return hbm_gather_aggregate(hist.astype(jnp.float32), fnbr,
+                                    fw, interpret=interp)
     rows = jnp.take(hist, fnbr, axis=0)               # [F, Dcap, d]
     return jnp.einsum("fk,fkd->fd", fw, rows)
 
@@ -95,7 +104,7 @@ def plain_aggregate(inputs, ls: LayerSample, normalization: str):
 def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
                  field_out: jax.Array, graph: PaddedGraph,
                  history: Tuple[jax.Array, ...], cvd: bool,
-                 normalization: str):
+                 normalization: str, use_pallas: bool = False):
     """VRAggregator (gcn/layers.py:282-362).
 
     Returns (outputs, new_history) where new_history is a tuple of arrays
@@ -114,7 +123,8 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
         mu_small = jnp.take(history[0], field_in, axis=0)   # h̄ on in-field
         z = h - mu
         delta_mu = mu - mu_small
-        mu_mean = full_neighborhood_mean(history[0], graph, field_out)
+        mu_mean = full_neighborhood_mean(history[0], graph, field_out,
+                                         use_pallas=use_pallas)
         mu_neighbour = fanout_gather(delta_mu, ls.slot_pos, ls.slot_w) \
             + mu_mean
         h_neighbour = fanout_gather(z, ls.slot_pos, ls.slot_w) \
@@ -138,12 +148,13 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
         msigma = delta_sigma * sigma_bar
 
         mu_neighbour = fanout_gather(delta_mu, ls.slot_pos, ls.slot_w) \
-            + full_neighborhood_mean(mu_history, graph, field_out)
+            + full_neighborhood_mean(mu_history, graph, field_out,
+                                     use_pallas=use_pallas)
         var_neighbour = (
             fanout_gather(jnp.square(delta_sigma), ls.slot_pos,
                           jnp.square(ls.slot_w))
             + full_neighborhood_mean(var_history, graph, field_out,
-                                     square=True)
+                                     square=True, use_pallas=use_pallas)
             + 2.0 * fanout_gather(msigma, ls.slot_pos, ls.slot_aw))
         var_neighbour = jax.nn.relu(var_neighbour) + 1e-10
 
@@ -161,6 +172,7 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
     hist = history[0]
     delta = inputs - jnp.take(hist, field_in, axis=0)
     a_neighbour = fanout_gather(delta, ls.slot_pos, ls.slot_w) \
-        + full_neighborhood_mean(hist, graph, field_out)
+        + full_neighborhood_mean(hist, graph, field_out,
+                                 use_pallas=use_pallas)
     new_history = (inputs,)
     return _self_concat(normalization, inputs[:f], a_neighbour), new_history

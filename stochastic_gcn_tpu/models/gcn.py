@@ -95,6 +95,8 @@ class ModelSpec:
     # (input_dim*output_dim, field index) per FC block — the FLOP
     # bookkeeping of gcn/models.py:299,336 (layer_comp)
     layer_comp: Tuple[Tuple[int, int], ...] = ()
+    # full-precision Pallas kernel for the CV full-neighborhood term
+    use_pallas: bool = False
 
 
 def build_model_spec(cfg: Config, input_dim: int, output_dim: int,
@@ -172,7 +174,7 @@ def build_model_spec(cfg: Config, input_dim: int, output_dim: int,
         det_dropout=cfg.det_dropout, normalization=cfg.normalization,
         multitask=cfg.multitask, history_dims=hist_dims,
         n_history_per_layer=2 if cfg.det_dropout else 1,
-        layer_comp=tuple(layer_comp))
+        layer_comp=tuple(layer_comp), use_pallas=cfg.use_pallas)
 
 
 # ----------------------------- parameters ---------------------------------
@@ -216,8 +218,8 @@ def weight_decay_param_names(spec: ModelSpec) -> Tuple[str, Tuple[str, ...]]:
     raise ValueError("model has no parametric layers")
 
 
-def init_histories(spec: ModelSpec, num_nodes: int, row_multiple: int = 8
-                   ) -> Tuple[Tuple[jax.Array, ...], ...]:
+def init_histories(spec: ModelSpec, num_nodes: int, row_multiple: int = 8,
+                   dtype=jnp.float32) -> Tuple[Tuple[jax.Array, ...], ...]:
     """Zero history buffers: per agg layer, 1 (or 2 for det_dropout) arrays
     of shape [>=N+1, d] (vrgcn.py:23-36 + sentinel row).
 
@@ -228,7 +230,7 @@ def init_histories(spec: ModelSpec, num_nodes: int, row_multiple: int = 8
         return tuple()
     rows = -(-(num_nodes + 1) // row_multiple) * row_multiple
     return tuple(
-        tuple(jnp.zeros((rows, d), jnp.float32)
+        tuple(jnp.zeros((rows, d), dtype)
               for _ in range(spec.n_history_per_layer))
         for d in spec.history_dims)
 
@@ -293,7 +295,8 @@ def forward(params: dict, spec: ModelSpec, pack: BatchFields,
             if spec.cv:
                 h, nh = agg.vr_aggregate(
                     h, ls, pack.fields[l], pack.fields[l + 1], graph,
-                    histories[l], spec.cvd, spec.normalization)
+                    histories[l], spec.cvd, spec.normalization,
+                    use_pallas=spec.use_pallas)
                 new_histories[l] = nh
             else:
                 h = agg.plain_aggregate(h, ls, spec.normalization)

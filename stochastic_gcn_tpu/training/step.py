@@ -49,9 +49,10 @@ def init_train_state(key: jax.Array, cfg: Config, spec: M.ModelSpec,
     params = M.init_params(key, spec)
     tx = make_optimizer(cfg)
     row_multiple = max(8, cfg.dp)
+    hist_dtype = jnp.dtype(cfg.history_dtype)
     return TrainState(params=params, opt_state=tx.init(params),
                       histories=M.init_histories(spec, num_nodes,
-                                                 row_multiple),
+                                                 row_multiple, hist_dtype),
                       step=jnp.zeros((), jnp.int32))
 
 
@@ -69,7 +70,7 @@ def scatter_histories(histories, new_histories, fields, num_nodes: int):
         if new_l is None:
             out.append(hist_l)
             continue
-        updated = tuple(h.at[field_l].set(nh)
+        updated = tuple(h.at[field_l].set(nh.astype(h.dtype))
                         for h, nh in zip(hist_l, new_l))
         out.append(updated)
     return tuple(out)

@@ -1,0 +1,72 @@
+"""TPU-native option flags: use_pallas (full-precision CV aggregation) and
+history_dtype (bf16 history storage)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stochastic_gcn_tpu.config import Config
+from stochastic_gcn_tpu.data.loaders import synthetic_dataset
+from stochastic_gcn_tpu.training.loop import Trainer
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return synthetic_dataset(num_nodes=150, feature_dim=16, num_classes=4,
+                             avg_degree=5, seed=0)
+
+
+def test_use_pallas_cv_matches_default(ds):
+    """CV training with the Pallas full-neighborhood kernel follows the
+    same trajectory as the XLA path (identical math, f32 accumulation)."""
+    base = dict(dataset="synthetic", batch_size=64, degree=1, test_degree=1,
+                cv=True, test_cv=True, hidden1=16, dropout=0.0, seed=1)
+    tr_a = Trainer(Config(**base), ds)
+    tr_b = Trainer(Config(**base, use_pallas=True), ds)
+    for _ in range(3):
+        la, *_ = tr_a.train_epoch()
+        lb, *_ = tr_b.train_epoch()
+    # same RNG stream + same math (CPU f32 both paths) -> near-identical
+    np.testing.assert_allclose(la, lb, rtol=1e-4)
+    ev_a = tr_a.evaluate(ds.val_d)
+    ev_b = tr_b.evaluate(ds.val_d)
+    np.testing.assert_allclose(ev_a[0], ev_b[0], rtol=1e-3)
+
+
+def test_bf16_history_trains(ds):
+    """bf16 history halves storage; the CV estimator stays well-behaved
+    (history is a control variate — any stored h̄ keeps it unbiased)."""
+    cfg = Config(dataset="synthetic", batch_size=64, degree=1,
+                 test_degree=1, cv=True, test_cv=True, hidden1=16,
+                 dropout=0.2, seed=1, history_dtype="bfloat16")
+    tr = Trainer(cfg, ds)
+    h0 = jax.tree_util.tree_leaves(tr.state.histories)[0]
+    assert h0.dtype == jnp.bfloat16
+    losses = []
+    for _ in range(10):
+        loss, *_ = tr.train_epoch()
+        losses.append(loss)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    ev = tr.evaluate(ds.val_d)
+    assert np.isfinite(ev[0])
+
+
+def test_bf16_cv_inference_close_to_exact(ds):
+    """The CV->exact inference property (train.py:339-341) holds under bf16
+    history to bf16 tolerance."""
+    from tests.test_estimators import dense_forward_gcn_pp, eval_logits
+    cfg = Config(dataset="synthetic", batch_size=64, degree=1,
+                 test_degree=1, cv=True, test_cv=True, hidden1=16,
+                 dropout=0.0, seed=1, history_dtype="bfloat16",
+                 test_batch_size=75)
+    tr = Trainer(cfg, ds)
+    ids = np.arange(ds.num_data, dtype=np.int32)
+    with jax.default_matmul_precision("float32"):
+        for _ in range(cfg.num_layers + 1):
+            preds = eval_logits(tr, ids)
+    logits = dense_forward_gcn_pp(ds, tr.state.params, ds.full_adj)
+    expect = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    np.testing.assert_allclose(preds, expect, atol=0.03)
