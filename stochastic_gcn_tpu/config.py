@@ -94,6 +94,9 @@ class Config:
     feat_nnz_cap: int = 1024
     # Directory for checkpoints.
     ckpt_dir: str = "tmp"
+    # Save a checkpoint every N epochs (0 = only at the end, reference
+    # behavior). Adds preemption safety the reference lacks (SURVEY §5.4).
+    ckpt_every: int = 0
 
     # -------- derived properties (mirror train.py:85-87) --------
     @property

@@ -24,7 +24,7 @@ from ..data.graph import (Dataset, dense_rows, pad_csr,
 from ..data.preprocess import cap_adj_degree
 from ..models import gcn as M
 from ..sampler.scheduler import MinibatchIterator, compute_importance
-from ..utils.metrics import calc_f1
+from ..utils.metrics import calc_f1, f1_from_counts
 from . import step as S
 from .checkpoint import load_checkpoint, save_checkpoint
 
@@ -216,10 +216,8 @@ class Trainer:
         accs = np.asarray(out["accs"])
         total_loss = float((losses * nvalid).sum() / len(data_ids))
         total_acc = float((accs * nvalid).sum() / len(data_ids))
-        preds = np.asarray(out["preds"]).reshape(-1, self.ds.num_classes)
-        preds = preds[:len(data_ids)]               # drop sentinel tail
-        micro, macro = calc_f1(preds, self.ds.labels[data_ids],
-                               self.cfg.multitask)
+        micro, macro = f1_from_counts(out["tp"], out["fp"], out["fn"],
+                                      self.cfg.multitask)
         return total_loss, total_acc, micro, macro, time.time() - t0
 
     def sgd_train(self, log=print, max_epochs: Optional[int] = None):
@@ -249,6 +247,8 @@ class Trainer:
                     f"field sizes = {es['field_sizes']}, "
                     f"adj sizes = {es['adj_sizes']}, "
                     f"fadj sizes = {es['fadj_sizes']}")
+            if cfg.ckpt_every and (epoch + 1) % cfg.ckpt_every == 0:
+                self.save()
             if (epoch > cfg.early_stopping and
                     self.cost_val[-1] > np.mean(
                         self.cost_val[-(cfg.early_stopping + 1):-1])):

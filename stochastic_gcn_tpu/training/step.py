@@ -209,10 +209,11 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
                                   train=False)
         loss, acc = M.loss_and_metrics(params, spec, logits, y, valid,
                                        cfg.weight_decay)
-        pred = M.predict(spec, logits)
+        from ..utils.metrics import device_f1_counts
+        tp, fp, fn = device_f1_counts(logits, y, valid, spec.multitask)
         histories = scatter_histories(histories, new_h, pack.fields[:-1],
                                       num_nodes)
-        return histories, (loss, acc, pred, jnp.sum(valid))
+        return histories, (loss, acc, tp, fp, fn, jnp.sum(valid))
 
     def _epoch(params, histories, graph, features, labels, importance,
                batch_matrix, key):
@@ -223,9 +224,15 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
             return hist, out
 
         keys = jax.random.split(key, batch_matrix.shape[0])
-        histories, (losses, accs, preds, nvalid) = jax.lax.scan(
+        histories, (losses, accs, tps, fps, fns, nvalid) = jax.lax.scan(
             body, histories, (batch_matrix, keys))
-        return histories, {"losses": losses, "accs": accs, "preds": preds,
+        # per-class counters summed over batches: evaluation fetches only
+        # C-length vectors, never the [N, C] prediction matrix (multi-MB
+        # device->host transfers dominate eval time on tunneled runtimes)
+        return histories, {"losses": losses, "accs": accs,
+                           "tp": jnp.sum(tps, axis=0),
+                           "fp": jnp.sum(fps, axis=0),
+                           "fn": jnp.sum(fns, axis=0),
                            "nvalid": nvalid}
 
     return _epoch

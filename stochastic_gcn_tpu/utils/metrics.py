@@ -25,6 +25,57 @@ def calc_f1(y_pred: np.ndarray, y_true: np.ndarray,
             f1_score(y_true, y_pred, average="macro"))
 
 
+def device_f1_counts(logits, labels, valid, multitask: bool):
+    """Per-class TP/FP/FN counters computed on device (jnp), so evaluation
+    fetches C-length vectors instead of [N, C] predictions — multi-MB
+    device->host prediction transfers dominate eval wall time on tunneled
+    runtimes.
+
+    Semantics match :func:`calc_f1`: multitask thresholds sigmoid at 0.5
+    (== logits > 0); single-label argmaxes.
+    """
+    import jax.numpy as jnp
+    c = logits.shape[1]
+    if multitask:
+        p = logits > 0
+        t = labels > 0.5
+        m = valid[:, None] > 0
+        tp = jnp.sum(p & t & m, axis=0)
+        fp = jnp.sum(p & ~t & m, axis=0)
+        fn = jnp.sum(~p & t & m, axis=0)
+    else:
+        pred = jnp.argmax(logits, axis=1)
+        true = jnp.argmax(labels, axis=1)
+        cls = jnp.arange(c)
+        m = valid > 0
+        p1 = (pred[:, None] == cls[None, :]) & m[:, None]
+        t1 = (true[:, None] == cls[None, :]) & m[:, None]
+        tp = jnp.sum(p1 & t1, axis=0)
+        fp = jnp.sum(p1 & ~t1, axis=0)
+        fn = jnp.sum(~p1 & t1, axis=0)
+    return tp.astype(jnp.int32), fp.astype(jnp.int32), fn.astype(jnp.int32)
+
+
+def f1_from_counts(tp, fp, fn, multitask: bool) -> tuple[float, float]:
+    """micro/macro F1 from summed per-class counters; matches sklearn's
+    conventions (multilabel macro averages ALL columns; multiclass macro
+    averages classes present in y_true or y_pred)."""
+    tp = np.asarray(tp, np.float64)
+    fp = np.asarray(fp, np.float64)
+    fn = np.asarray(fn, np.float64)
+    denom = 2 * tp.sum() + fp.sum() + fn.sum()
+    micro = 2 * tp.sum() / denom if denom else 0.0
+    per_denom = 2 * tp + fp + fn
+    per_f1 = np.divide(2 * tp, per_denom,
+                       out=np.zeros_like(tp), where=per_denom > 0)
+    if multitask:
+        macro = per_f1.mean() if len(per_f1) else 0.0
+    else:
+        present = per_denom > 0
+        macro = per_f1[present].mean() if present.any() else 0.0
+    return float(micro), float(macro)
+
+
 class Averager:
     """Trailing-window mean (gcn/utils.py:507-518)."""
 
