@@ -75,7 +75,12 @@ def _cache_dataset(npz_file: str, ds: Dataset, sparse_feats: bool) -> None:
 
 def _load_cached(npz_file: str) -> Dataset:
     z = np.load(npz_file)
-    sparse_feats = bool(z["sparse_feats"]) if "sparse_feats" in z else True
+    if "sparse_feats" in z:
+        sparse_feats = bool(z["sparse_feats"])
+    else:
+        # reference-produced GraphSAGE caches (same filenames) store dense
+        # 'feats' arrays and no flag — infer the schema from the keys
+        sparse_feats = "feats_data" in z
     if sparse_feats:
         feats = _load_csr(z, "feats")
         train_feats = _load_csr(z, "train_feats")
@@ -347,7 +352,6 @@ def synthetic_dataset(num_nodes: int = 512, feature_dim: int = 64,
         # preferential-attachment-ish: each new node links to m targets with
         # probability proportional to (degree + 1)
         m = max(1, avg_degree // 2)
-        targets = rng.integers(0, max(1, m), size=m)
         rows, cols = [], []
         deg = np.ones(num_nodes)
         for v in range(1, num_nodes):

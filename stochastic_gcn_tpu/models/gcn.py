@@ -166,7 +166,9 @@ def build_model_spec(cfg: Config, input_dim: int, output_dim: int,
     hist_dims = tuple(agg0_dim if i == 0 else cfg.hidden1
                       for i in range(n_agg))
     return ModelSpec(
-        reverse_input_dropout=cfg.reverse,
+        # the reference's host-side input dropout under --reverse exists
+        # only in PlainGCN (gcn/plaingcn.py:30-38); VRGCN has none
+        reverse_input_dropout=cfg.reverse and not cv,
         specs=tuple(specs), num_agg_layers=n_agg, agg0_dim=agg0_dim,
         input_dim=input_dim * dim_s if preprocess and cfg.pp_nbr
         else input_dim,
@@ -184,9 +186,8 @@ def init_params(key: jax.Array, spec: ModelSpec) -> dict:
     for s in spec.specs:
         if isinstance(s, (DenseSpec, AugDenseSpec, DetFCSpec)):
             key, sub = jax.random.split(key)
-            norm = s.norm if not isinstance(s, DenseSpec) else s.norm
             params[s.name] = L.init_dense(sub, s.input_dim, s.output_dim,
-                                          norm)
+                                          s.norm)
     return params
 
 

@@ -54,6 +54,12 @@ def to_device_features(cfg: Config, feats, num_nodes: int):
 
 class Trainer:
     def __init__(self, cfg: Config, ds: Dataset):
+        if cfg.det_dropout and (cfg.importance or cfg.test_importance):
+            # the IS path produces no cross-term (madj) weights — the
+            # reference's importance sampler doesn't either
+            # (scheduler.cpp:63-122 emits no medg_w before returning)
+            raise ValueError(
+                "--det_dropout is incompatible with --importance")
         self.cfg = cfg
         self.ds = ds
         n = ds.num_data
@@ -254,7 +260,8 @@ class Trainer:
                         self.cost_val[-(cfg.early_stopping + 1):-1])):
                 log("Early stopping...")
                 break
-            if self.amt_data >= cfg.data and epoch + 1 > cfg.epochs:
+            # reference stop: 0-based epoch > FLAGS.epochs (train.py:234)
+            if self.amt_data >= cfg.data and epoch > cfg.epochs:
                 break
         log("Optimization Finished!")
         self.save()
@@ -344,6 +351,7 @@ class Trainer:
         self.state, eval_hist, key = load_checkpoint(
             self.cfg.ckpt_dir, self.state, self.eval_histories, self.key,
             load_history=load_history)
+        self.key = key          # resume the saved RNG stream
         if load_history:
             self.eval_histories = eval_hist
         # copy train-side history into the eval-side buffers (train.py:174);
@@ -355,5 +363,5 @@ class Trainer:
             e_shapes = [h.shape for h in
                         jax.tree_util.tree_leaves(self.eval_histories)]
             if t_shapes == e_shapes:
-                self.eval_histories = jax.tree_util.tree_map(
-                    lambda h: h, self.state.histories)
+                # jax arrays are immutable: sharing, not copying
+                self.eval_histories = self.state.histories
