@@ -145,48 +145,52 @@ def main():
     edges_per_s = amt / dt
     steps = total_steps
 
+    fast = bool(os.environ.get("BENCH_FAST"))
     # bf16 history variant (documented TPU option, --history_dtype=bfloat16;
     # the CV estimator is unbiased for any stored h-bar, so this changes
     # variance only): halves the dominant full-neighborhood gather bytes
-    tr16 = Trainer(cfg.replace(history_dtype="bfloat16"), ds)
-    bm16 = batch_matrix(300)
-    tr16.state, m16 = tr16._train_epoch(
-        tr16.state, tr16.graph_train, tr16.train_features, tr16.labels,
-        tr16.importance_train, bm16, tr16._next_key())
-    _ = float(m16["loss"])
-    t0 = time.time()
-    tr16.state, m16 = tr16._train_epoch(
-        tr16.state, tr16.graph_train, tr16.train_features, tr16.labels,
-        tr16.importance_train, batch_matrix(300), tr16._next_key())
-    amt16 = int(m16["amt_data"])
-    edges_per_s_bf16 = amt16 / (time.time() - t0)
+    edges_per_s_bf16 = edges_per_s_big = None
+    if not fast:
+        tr16 = Trainer(cfg.replace(history_dtype="bfloat16"), ds)
+        bm16 = batch_matrix(300)
+        tr16.state, m16 = tr16._train_epoch(
+            tr16.state, tr16.graph_train, tr16.train_features, tr16.labels,
+            tr16.importance_train, bm16, tr16._next_key())
+        _ = float(m16["loss"])
+        t0 = time.time()
+        tr16.state, m16 = tr16._train_epoch(
+            tr16.state, tr16.graph_train, tr16.train_features, tr16.labels,
+            tr16.importance_train, batch_matrix(300), tr16._next_key())
+        amt16 = int(m16["amt_data"])
+        edges_per_s_bf16 = amt16 / (time.time() - t0)
 
     # secondary: max-throughput batch (per-step cost is latency-bound and
     # nearly batch-independent, so edges/s scales ~linearly with batch)
     big = 4096
     big_steps = 100
-    cfg_big = cfg.replace(batch_size=big)
-    tr_big = Trainer(cfg_big, ds)
-    def big_matrix(s):
-        # recycle train ids across steps so the scan is long enough to
-        # amortize the fixed per-dispatch cost (batches stay duplicate-free
-        # WITHIN each step, which is all the scheduler requires)
-        ids = np.resize(rng.permutation(ds.train_d).astype(np.int32),
-                        s * big)
-        return jnp.asarray(ids.reshape(s, big))
-    tr_big.state, m2 = tr_big._train_epoch(
-        tr_big.state, tr_big.graph_train, tr_big.train_features,
-        tr_big.labels, tr_big.importance_train, big_matrix(big_steps),
-        tr_big._next_key())
-    _ = float(m2["loss"])
-    t0 = time.time()
-    tr_big.state, m2 = tr_big._train_epoch(
-        tr_big.state, tr_big.graph_train, tr_big.train_features,
-        tr_big.labels, tr_big.importance_train, big_matrix(big_steps),
-        tr_big._next_key())
-    amt_big = int(m2["amt_data"])
-    dt_big = time.time() - t0
-    edges_per_s_big = amt_big / dt_big
+    if not fast:
+        cfg_big = cfg.replace(batch_size=big)
+        tr_big = Trainer(cfg_big, ds)
+        def big_matrix(s):
+            # recycle train ids across steps so the scan is long enough to
+            # amortize the fixed per-dispatch cost (batches stay
+            # duplicate-free WITHIN each step, all the scheduler requires)
+            ids = np.resize(rng.permutation(ds.train_d).astype(np.int32),
+                            s * big)
+            return jnp.asarray(ids.reshape(s, big))
+        tr_big.state, m2 = tr_big._train_epoch(
+            tr_big.state, tr_big.graph_train, tr_big.train_features,
+            tr_big.labels, tr_big.importance_train, big_matrix(big_steps),
+            tr_big._next_key())
+        _ = float(m2["loss"])
+        t0 = time.time()
+        tr_big.state, m2 = tr_big._train_epoch(
+            tr_big.state, tr_big.graph_train, tr_big.train_features,
+            tr_big.labels, tr_big.importance_train, big_matrix(big_steps),
+            tr_big._next_key())
+        amt_big = int(m2["amt_data"])
+        dt_big = time.time() - t0
+        edges_per_s_big = amt_big / dt_big
     result = {
         "metric": "reddit_like_cvpp_deg1_sampled_edges_per_s",
         "value": round(edges_per_s, 1),
@@ -195,14 +199,16 @@ def main():
         "steps_per_s": round(steps / dt, 2),
         "step_ms": round(1000 * dt / steps, 2),
         "loss": round(float(metrics["loss"]), 4),
-        "edges_per_s_batch4096": round(edges_per_s_big, 1),
-        "vs_baseline_batch4096": round(edges_per_s_big
-                                       / REFERENCE_EDGES_PER_S, 3),
-        "edges_per_s_bf16_history": round(edges_per_s_bf16, 1),
-        "vs_baseline_bf16_history": round(edges_per_s_bf16
-                                          / REFERENCE_EDGES_PER_S, 3),
         "device": str(jax.devices()[0]),
     }
+    if edges_per_s_big is not None:
+        result["edges_per_s_batch4096"] = round(edges_per_s_big, 1)
+        result["vs_baseline_batch4096"] = round(
+            edges_per_s_big / REFERENCE_EDGES_PER_S, 3)
+    if edges_per_s_bf16 is not None:
+        result["edges_per_s_bf16_history"] = round(edges_per_s_bf16, 1)
+        result["vs_baseline_bf16_history"] = round(
+            edges_per_s_bf16 / REFERENCE_EDGES_PER_S, 3)
     print(json.dumps(result))
 
 
