@@ -86,12 +86,30 @@ class Config:
     history_dtype: str = "float32"
     # Number of devices along the data-parallel mesh axis (1 = single chip).
     dp: int = 1
+    # With row-sharded history (--dp > 1): route the CV full-neighborhood
+    # term through an explicit halo exchange (local contraction +
+    # psum_scatter of [F, d] partials) instead of GSPMD's default
+    # all-reduce of the [F, Dcap, d] gather result — Dcap x less ICI
+    # traffic.  Disable to fall back to pure GSPMD lowering.
+    halo_exchange: bool = True
     # Use the Pallas streaming-gather kernel for the CV full-neighborhood
     # term: true-f32 accumulation (XLA's default-precision einsum reduces
     # in bf16 passes) at ~3x the op time. Off by default for speed.
     use_pallas: bool = False
     # Cap on padded nnz/row for sparse feature matrices (NELL-style).
     feat_nnz_cap: int = 1024
+    # Device graph layout: 'padded' ([N, Dcap] rows — fastest when degrees
+    # are capped/uniform) or 'edgelist' (flat CSR, O(E) storage + per-batch
+    # edge enumeration for the CV full-neighborhood term — for power-law
+    # graphs whose max degree makes padding prohibitive).
+    graph_format: str = "padded"
+    # Edge budget multiplier for the edgelist full-neighborhood term:
+    # capacity per output row = ceil(fadj_edge_mult * mean_degree).
+    fadj_edge_mult: float = 4.0
+    # Unroll factor for the whole-epoch lax.scan (steps per scan body).
+    # >1 amortizes per-iteration scan bookkeeping when the step itself is
+    # dispatch-overhead-bound (small batches); costs compile time.
+    scan_unroll: int = 1
     # Directory for checkpoints.
     ckpt_dir: str = "tmp"
     # Save a checkpoint every N epochs (0 = only at the end, reference

@@ -110,6 +110,101 @@ def pad_csr(adj: sp.csr_matrix, pad_degree: int = -1) -> PaddedGraph:
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class FlatGraph:
+    """Flat-CSR adjacency, device-resident — the edge-list counterpart of
+    :class:`PaddedGraph` for power-law degree distributions.
+
+    Storage is O(E) instead of O(N * max_degree): hub-heavy graphs (NELL
+    without --max_degree caps) keep exact neighborhoods without padding the
+    whole graph to the hub degree.  Row windows for the fanout sampler are
+    materialized per-field on the fly (same gather count as PaddedGraph);
+    the CV full-neighborhood term runs over a flat per-batch edge
+    enumeration + sorted segment-sum (see
+    models/aggregators.py::full_neighborhood_mean_edgelist).
+
+    Attributes:
+      indptr: [N+2] int32 row starts; row N is the empty sentinel row.
+      idx:    [E] int32 flat neighbor ids.
+      w:      [E] float32 normalized edge weights.
+      deg:    [N+1] int32 row lengths; deg[N] = 0.
+      max_degree:       static — true max row length (sampler row window).
+      edge_cap_per_row: static — per-output-row edge budget for the
+        full-neighborhood enumeration: a batch of F rows gets a static
+        capacity of ``F * edge_cap_per_row`` flat slots (clamped to
+        ``F * max_degree``).  Batches whose total degree exceeds the budget
+        have trailing edges dropped — size it via ``--fadj_edge_mult``.
+    """
+    indptr: jax.Array
+    idx: jax.Array
+    w: jax.Array
+    deg: jax.Array
+    max_degree: int = dataclasses.field(metadata=dict(static=True))
+    edge_cap_per_row: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_nodes(self) -> int:
+        return self.indptr.shape[0] - 2
+
+    @property
+    def pad_degree(self) -> int:
+        # row-window width: a field row materializes at most this many slots
+        return self.max_degree
+
+    @property
+    def num_edges(self) -> jax.Array:
+        return jnp.sum(self.deg)
+
+
+def flat_csr(adj: sp.csr_matrix, edge_mult: float = 4.0) -> FlatGraph:
+    """Convert a scipy CSR adjacency to a FlatGraph.
+
+    ``edge_mult`` sets ``edge_cap_per_row = ceil(edge_mult * mean_degree)``
+    (at least 1, at most the max degree); pass a large value (or apply
+    degree caps first) if exact full neighborhoods are required for every
+    possible batch.
+    """
+    adj = adj.tocsr()
+    n = adj.shape[0]
+    deg = np.diff(adj.indptr).astype(np.int32)
+    max_deg = int(deg.max()) if deg.size else 1
+    max_deg = max(max_deg, 1)
+    mean_deg = float(deg.mean()) if deg.size else 1.0
+    cap_row = int(min(max_deg, max(1, int(np.ceil(edge_mult * mean_deg)))))
+
+    indptr = np.zeros(n + 2, np.int32)
+    indptr[:n + 1] = adj.indptr
+    indptr[n + 1] = adj.indptr[-1]          # sentinel row N: empty
+    deg_out = np.zeros(n + 1, np.int32)
+    deg_out[:n] = deg
+    return FlatGraph(indptr=jnp.asarray(indptr),
+                     idx=jnp.asarray(adj.indices.astype(np.int32)),
+                     w=jnp.asarray(adj.data.astype(np.float32)),
+                     deg=jnp.asarray(deg_out),
+                     max_degree=max_deg, edge_cap_per_row=cap_row)
+
+
+def graph_rows(graph, field: jax.Array):
+    """Materialize the [F, Dcap] neighbor/weight row windows for a field —
+    the single dispatch point between the two graph formats.  Empty slots
+    hold the sentinel id N / weight 0 in both."""
+    if isinstance(graph, FlatGraph):
+        n = graph.num_nodes
+        dcap = graph.pad_degree
+        start = jnp.take(graph.indptr, field, axis=0)       # [F]
+        deg = jnp.take(graph.deg, field, axis=0)
+        slot = jnp.arange(dcap, dtype=jnp.int32)[None, :]
+        valid = slot < deg[:, None]
+        src = jnp.where(valid, start[:, None] + slot, 0)
+        rows_nbr = jnp.where(valid, jnp.take(graph.idx, src, axis=0), n)
+        rows_w = jnp.where(valid, jnp.take(graph.w, src, axis=0), 0.0)
+        return rows_nbr, rows_w, deg
+    return (jnp.take(graph.nbr, field, axis=0),
+            jnp.take(graph.w, field, axis=0),
+            jnp.take(graph.deg, field, axis=0))
+
+
 def dense_rows(x, num_nodes: Optional[int] = None,
                dtype=jnp.float32) -> jax.Array:
     """Densify node-indexed data to [N+1, d] with a zero sentinel row."""

@@ -20,7 +20,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..data.graph import PaddedGraph
+from ..data.graph import FlatGraph, PaddedGraph
 from ..sampler.scheduler import LayerSample
 
 
@@ -35,9 +35,79 @@ def fanout_gather(x: jax.Array, slot_pos: jax.Array,
     return jnp.einsum("fk,fkd->fd", slot_w, g)
 
 
+def full_neighborhood_mean_halo(hist: jax.Array, fnbr: jax.Array,
+                                fw: jax.Array, mesh) -> jax.Array:
+    """``Â_full · h̄`` with the history row-sharded along the node axis.
+
+    Explicit halo exchange replacing GSPMD's default lowering (masked local
+    gather + all-reduce of the [F, Dcap, d] gather RESULT): each chip
+    gathers/contracts the rows it owns for ALL output rows, then a single
+    ``psum_scatter`` of the contracted [F, d] partials hands each chip its
+    own batch shard — Dcap x fewer bytes over ICI, and the contraction
+    runs before communication (SURVEY.md §5.8).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    p = mesh.shape[axis]
+    n_loc = hist.shape[0] // p
+
+    def body(h_loc, fnbr_loc, fw_loc):
+        # requests from every chip: [P, F/P, Dcap]
+        nbr_all = jax.lax.all_gather(fnbr_loc, axis)
+        w_all = jax.lax.all_gather(fw_loc, axis)
+        lo = jax.lax.axis_index(axis) * n_loc
+        loc = nbr_all - lo
+        mine = (loc >= 0) & (loc < n_loc)
+        rows = jnp.take(h_loc, jnp.clip(loc, 0, n_loc - 1), axis=0)
+        part = jnp.einsum("pfk,pfkd->pfd",
+                          jnp.where(mine, w_all, 0.0).astype(jnp.float32),
+                          rows.astype(jnp.float32))
+        # sum partials across chips, keeping only this chip's batch shard
+        return jax.lax.psum_scatter(part, axis, scatter_dimension=0,
+                                    tiled=False)
+
+    return shard_map(body, mesh=mesh,
+                     in_specs=(P(axis, None), P(axis, None), P(axis, None)),
+                     out_specs=P(axis, None))(hist, fnbr, fw)
+
+
+def history_gather(hist: jax.Array, ids: jax.Array, mesh=None) -> jax.Array:
+    """``h̄[ids]`` ([C, d]) from a possibly row-sharded history.
+
+    With a mesh, routes each row from its owner chip explicitly (local
+    masked gather + psum_scatter of the [C, d] partials) — half the ICI
+    bytes of GSPMD's default all-reduce lowering.  Falls back to a plain
+    gather when unsharded or the shapes don't tile."""
+    if (mesh is None or mesh.devices.size <= 1
+            or ids.shape[0] % mesh.devices.size
+            or hist.shape[0] % mesh.devices.size):
+        return jnp.take(hist, ids, axis=0)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    p = mesh.shape[axis]
+    n_loc = hist.shape[0] // p
+
+    def body(h_loc, ids_loc):
+        ids_all = jax.lax.all_gather(ids_loc, axis)        # [P, C/P]
+        lo = jax.lax.axis_index(axis) * n_loc
+        loc = ids_all - lo
+        mine = (loc >= 0) & (loc < n_loc)
+        rows = jnp.take(h_loc, jnp.clip(loc, 0, n_loc - 1), axis=0)
+        part = jnp.where(mine[..., None], rows, 0).astype(jnp.float32)
+        return jax.lax.psum_scatter(part, axis, scatter_dimension=0,
+                                    tiled=False)
+
+    return shard_map(body, mesh=mesh, in_specs=(P(axis, None), P(axis)),
+                     out_specs=P(axis, None))(hist, ids)
+
+
 def full_neighborhood_mean(hist: jax.Array, graph: PaddedGraph,
                            field_out: jax.Array, square: bool = False,
-                           use_pallas: bool = False) -> jax.Array:
+                           use_pallas: bool = False, mesh=None) -> jax.Array:
     """``(Â_full · h̄)[field_out]``: padded full-row contraction.
 
     hist: [N+1, d] device-resident history (zero sentinel row).
@@ -48,11 +118,21 @@ def full_neighborhood_mean(hist: jax.Array, graph: PaddedGraph,
     ``use_pallas`` selects the streaming-gather kernel: true-f32
     accumulation (XLA's default-precision einsum reduces in bf16 passes)
     at ~3x the op time — see ops/pallas_spmm.py.
+
+    On a :class:`FlatGraph` this dispatches to the edge-list enumeration
+    path instead (power-law rows without max-degree padding).
     """
+    if isinstance(graph, FlatGraph):
+        return full_neighborhood_mean_edgelist(hist, graph, field_out,
+                                               square=square)
     fnbr = jnp.take(graph.nbr, field_out, axis=0)     # [F, Dcap]
     fw = jnp.take(graph.w, field_out, axis=0)
     if square:
         fw = jnp.square(fw)
+    if (mesh is not None and mesh.devices.size > 1
+            and field_out.shape[0] % mesh.devices.size == 0
+            and hist.shape[0] % mesh.devices.size == 0):
+        return full_neighborhood_mean_halo(hist, fnbr, fw, mesh)
     if use_pallas:
         from ..ops.pallas_spmm import hbm_gather_aggregate
         interp = jax.default_backend() == "cpu"
@@ -60,6 +140,45 @@ def full_neighborhood_mean(hist: jax.Array, graph: PaddedGraph,
                                     fw, interpret=interp)
     rows = jnp.take(hist, fnbr, axis=0)               # [F, Dcap, d]
     return jnp.einsum("fk,fkd->fd", fw, rows)
+
+
+def full_neighborhood_mean_edgelist(hist: jax.Array, graph: FlatGraph,
+                                    field_out: jax.Array,
+                                    square: bool = False) -> jax.Array:
+    """``(Â_full · h̄)[field_out]`` over a flat-CSR graph.
+
+    Instead of padding every row to the graph's max degree, the batch's
+    full neighborhoods are enumerated into a flat buffer of static capacity
+    ``F * edge_cap_per_row`` (row -> slot mapping via a vectorized binary
+    search over the cumulative degree — an O(N)-scatter-free construction)
+    and reduced with a sorted segment-sum.  Gather traffic is proportional
+    to the batch's actual edge count, not ``F * max_degree`` — the right
+    trade for power-law graphs (NELL hubs, SURVEY.md §7.3 hard part #1).
+
+    Batches whose total degree exceeds the capacity lose trailing edges
+    (size via --fadj_edge_mult; see FlatGraph.edge_cap_per_row).
+    """
+    n = graph.num_nodes
+    f = field_out.shape[0]
+    e_cap = min(f * graph.edge_cap_per_row, f * graph.max_degree)
+    deg = jnp.take(graph.deg, field_out, axis=0)          # [F]
+    cum = jnp.cumsum(deg)
+    total = cum[-1]
+    e = jnp.arange(e_cap, dtype=jnp.int32)
+    row = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)
+    rowc = jnp.minimum(row, f - 1)
+    valid = e < total
+    start = jnp.take(graph.indptr, jnp.take(field_out, rowc, axis=0),
+                     axis=0)
+    offset = e - (jnp.take(cum, rowc, axis=0) - jnp.take(deg, rowc, axis=0))
+    src = jnp.where(valid, start + offset, 0)
+    nbr = jnp.where(valid, jnp.take(graph.idx, src, axis=0), n)
+    wgt = jnp.where(valid, jnp.take(graph.w, src, axis=0), 0.0)
+    if square:
+        wgt = jnp.square(wgt)
+    rows = jnp.take(hist, nbr, axis=0).astype(wgt.dtype)  # [e_cap, d]
+    return jax.ops.segment_sum(wgt[:, None] * rows, rowc, num_segments=f,
+                               indices_are_sorted=True)
 
 
 def ema_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
@@ -104,7 +223,7 @@ def plain_aggregate(inputs, ls: LayerSample, normalization: str):
 def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
                  field_out: jax.Array, graph: PaddedGraph,
                  history: Tuple[jax.Array, ...], cvd: bool,
-                 normalization: str, use_pallas: bool = False):
+                 normalization: str, use_pallas: bool = False, mesh=None):
     """VRAggregator (gcn/layers.py:282-362).
 
     Returns (outputs, new_history) where new_history is a tuple of arrays
@@ -120,11 +239,11 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
 
     if cvd:
         h, mu = inputs
-        mu_small = jnp.take(history[0], field_in, axis=0)   # h̄ on in-field
+        mu_small = history_gather(history[0], field_in, mesh)  # h̄ on in-field
         z = h - mu
         delta_mu = mu - mu_small
         mu_mean = full_neighborhood_mean(history[0], graph, field_out,
-                                         use_pallas=use_pallas)
+                                         use_pallas=use_pallas, mesh=mesh)
         mu_neighbour = fanout_gather(delta_mu, ls.slot_pos, ls.slot_w) \
             + mu_mean
         h_neighbour = fanout_gather(z, ls.slot_pos, ls.slot_w) \
@@ -141,20 +260,21 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
         mu, var = inputs
         mu_history, var_history = history
 
-        delta_mu = mu - jnp.take(mu_history, field_in, axis=0)
+        delta_mu = mu - history_gather(mu_history, field_in, mesh)
         sigma = jnp.sqrt(var)
-        sigma_bar = jnp.sqrt(jnp.take(var_history, field_in, axis=0))
+        sigma_bar = jnp.sqrt(history_gather(var_history, field_in, mesh))
         delta_sigma = sigma - sigma_bar
         msigma = delta_sigma * sigma_bar
 
         mu_neighbour = fanout_gather(delta_mu, ls.slot_pos, ls.slot_w) \
             + full_neighborhood_mean(mu_history, graph, field_out,
-                                     use_pallas=use_pallas)
+                                     use_pallas=use_pallas, mesh=mesh)
         var_neighbour = (
             fanout_gather(jnp.square(delta_sigma), ls.slot_pos,
                           jnp.square(ls.slot_w))
             + full_neighborhood_mean(var_history, graph, field_out,
-                                     square=True, use_pallas=use_pallas)
+                                     square=True, use_pallas=use_pallas,
+                                     mesh=mesh)
             + 2.0 * fanout_gather(msigma, ls.slot_pos, ls.slot_aw))
         var_neighbour = jax.nn.relu(var_neighbour) + 1e-10
 
@@ -170,9 +290,9 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
     # (the reference computes Â·H - Â·h̄ as two SpMMs; fused here — same
     # linear algebra, half the gather traffic)
     hist = history[0]
-    delta = inputs - jnp.take(hist, field_in, axis=0)
+    delta = inputs - history_gather(hist, field_in, mesh)
     a_neighbour = fanout_gather(delta, ls.slot_pos, ls.slot_w) \
         + full_neighborhood_mean(hist, graph, field_out,
-                                 use_pallas=use_pallas)
+                                 use_pallas=use_pallas, mesh=mesh)
     new_history = (inputs,)
     return _self_concat(normalization, inputs[:f], a_neighbour), new_history

@@ -250,7 +250,7 @@ def _slice_inputs(features, field0: jax.Array):
 
 def forward(params: dict, spec: ModelSpec, pack: BatchFields,
             graph: Optional[PaddedGraph], histories, features,
-            key: jax.Array, keep_prob: float, train: bool):
+            key: jax.Array, keep_prob: float, train: bool, mesh=None):
     """Run the layer stack (gcn/models.py:147-159).
 
     Returns (logits [B, output_dim], new_histories) where new_histories[l]
@@ -297,7 +297,7 @@ def forward(params: dict, spec: ModelSpec, pack: BatchFields,
                 h, nh = agg.vr_aggregate(
                     h, ls, pack.fields[l], pack.fields[l + 1], graph,
                     histories[l], spec.cvd, spec.normalization,
-                    use_pallas=spec.use_pallas)
+                    use_pallas=spec.use_pallas, mesh=mesh)
                 new_histories[l] = nh
             else:
                 h = agg.plain_aggregate(h, ls, spec.normalization)

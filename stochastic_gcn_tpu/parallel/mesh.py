@@ -7,8 +7,11 @@ layer's receptive field work) is sharded across chips, parameters/graph/
 history are replicated, and XLA's SPMD partitioner inserts the gradient
 all-reduce and the history-update all-gathers over ICI.
 
-Later rounds extend this with node-dimension sharding of the [N, d] history
-(halo exchange via ragged all-to-all), per SURVEY.md §5.8.
+With ``shard_history`` the [N, d] history buffers are sharded along the
+node dimension (each chip owns N/P rows), and ``cfg.halo_exchange`` routes
+the history gathers through an explicit halo exchange (owner-side
+contraction + psum_scatter, models/aggregators.py) instead of GSPMD's
+default whole-history all-gather — per SURVEY.md §5.8.
 """
 
 from __future__ import annotations
@@ -58,6 +61,7 @@ def state_shardings(mesh: Mesh, state, shard_history: bool):
         opt_state=jtu.tree_map(lambda _: repl, state.opt_state),
         histories=jtu.tree_map(lambda _: hist_sh, state.histories),
         step=repl,
+        avg_params=jtu.tree_map(lambda _: repl, state.avg_params),
     )
 
 
@@ -72,8 +76,8 @@ def make_sharded_train_step(cfg, spec, degrees: Tuple[int, ...],
       histories — replicated by default; with ``shard_history`` the
         per-layer [N+1, d] buffers are sharded along the NODE dimension
         (each chip owns N/P history rows — the memory-scaling layout from
-        SURVEY.md §5.8; GSPMD routes the row gathers/scatter, a custom
-        halo-exchange kernel is the round-2 optimization).
+        SURVEY.md §5.8); ``cfg.halo_exchange`` selects the explicit
+        halo-exchange lowering for the history gathers.
       graph/features/labels/importance — replicated.
       batch_ids — sharded along the 'data' axis.
     """
@@ -81,7 +85,8 @@ def make_sharded_train_step(cfg, spec, degrees: Tuple[int, ...],
 
     repl = replicated(mesh)
     shard = batch_sharded(mesh)
-    inner = build_train_step(cfg, spec, degrees, num_nodes)
+    halo = mesh if (shard_history and cfg.halo_exchange) else None
+    inner = build_train_step(cfg, spec, degrees, num_nodes, mesh=halo)
 
     if state_template is not None:
         st_sh = state_shardings(mesh, state_template, shard_history)
@@ -105,7 +110,8 @@ def make_sharded_train_epoch(cfg, spec, degrees: Tuple[int, ...],
     repl = replicated(mesh)
     bm_sh = NamedSharding(mesh, P(None, "data"))
     st_sh = state_shardings(mesh, state_template, shard_history)
-    inner = build_train_epoch(cfg, spec, degrees, num_nodes)
+    halo = mesh if (shard_history and cfg.halo_exchange) else None
+    inner = build_train_epoch(cfg, spec, degrees, num_nodes, mesh=halo)
 
     return jax.jit(
         inner,
@@ -126,7 +132,8 @@ def make_sharded_eval_epoch(cfg, spec, degrees: Tuple[int, ...],
     hist_sh = jtu.tree_map(
         lambda _: row_sharded(mesh) if shard_history else repl,
         hist_template)
-    inner = build_eval_epoch(cfg, spec, degrees, num_nodes)
+    halo = mesh if (shard_history and cfg.halo_exchange) else None
+    inner = build_eval_epoch(cfg, spec, degrees, num_nodes, mesh=halo)
 
     return jax.jit(
         inner,

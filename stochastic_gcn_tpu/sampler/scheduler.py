@@ -39,7 +39,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..data.graph import PaddedGraph
+from ..data.graph import FlatGraph, PaddedGraph, graph_rows
 
 
 @jax.tree_util.register_dataclass
@@ -89,12 +89,16 @@ def field_capacities(batch_size: int, degrees: Sequence[int], num_nodes: int,
     return caps
 
 
-def compute_importance(graph: PaddedGraph) -> jax.Array:
+def compute_importance(graph) -> jax.Array:
     """Per-node importance = 1e-6 + sum of squared in-edge weights
     (scheduler.cpp:21-26)."""
-    n1 = graph.nbr.shape[0]
-    imp = jnp.zeros(n1, jnp.float32).at[graph.nbr.reshape(-1)].add(
-        jnp.square(graph.w).reshape(-1))
+    n1 = graph.num_nodes + 1
+    if isinstance(graph, FlatGraph):
+        imp = jnp.zeros(n1, jnp.float32).at[graph.idx].add(
+            jnp.square(graph.w))
+    else:
+        imp = jnp.zeros(n1, jnp.float32).at[graph.nbr.reshape(-1)].add(
+            jnp.square(graph.w).reshape(-1))
     imp = imp + 1e-6
     return imp.at[n1 - 1].set(1e-6)
 
@@ -106,9 +110,7 @@ def expand_uniform(key: jax.Array, graph: PaddedGraph, field_out: jax.Array,
     Returns (nbr_id [F,k], slot_w [F,k], slot_aw, scales [F]).
     """
     dcap = graph.pad_degree
-    rows_nbr = graph.nbr[field_out]            # [F, Dcap]
-    rows_w = graph.w[field_out]
-    deg = graph.deg[field_out]                 # [F] int32
+    rows_nbr, rows_w, deg = graph_rows(graph, field_out)   # [F, Dcap]
     f = field_out.shape[0]
     k = min(degree, dcap)
 
@@ -150,9 +152,7 @@ def expand_importance(key: jax.Array, graph: PaddedGraph,
     n = graph.num_nodes
     dcap = graph.pad_degree
     f = field_out.shape[0]
-    rows_nbr = graph.nbr[field_out]
-    rows_w = graph.w[field_out]
-    deg = graph.deg[field_out]
+    rows_nbr, rows_w, deg = graph_rows(graph, field_out)
     valid = (jnp.arange(dcap, dtype=jnp.int32)[None, :] < deg[:, None])
 
     union = jnp.zeros(n + 1, bool).at[

@@ -52,7 +52,8 @@ def load_checkpoint(ckpt_dir: str, state_template, eval_hist_template,
         # keep the caller's (zero) histories, restore weights/opt only
         state = type(state_template)(
             params=state.params, opt_state=state.opt_state,
-            histories=state_template.histories, step=state.step)
+            histories=state_template.histories, step=state.step,
+            avg_params=state.avg_params)
         eval_hist = eval_hist_template
     print(f"Model restored from file: {path}")
     return state, eval_hist, key

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..data.graph import (Dataset, dense_rows, pad_csr,
+from ..data.graph import (Dataset, dense_rows, flat_csr, pad_csr,
                           pad_sparse_features)
 from ..data.preprocess import cap_adj_degree
 from ..models import gcn as M
@@ -76,11 +76,20 @@ class Trainer:
         if cfg.pad_degree != -1:
             train_adj = cap_adj_degree(train_adj, cfg.pad_degree, cfg.seed)
             full_adj = cap_adj_degree(full_adj, cfg.pad_degree, cfg.seed)
-        # pad each graph to its own true (post-cap) max degree: the
-        # full-neighborhood gather is row-issue-rate bound, so tighter
-        # padding directly cuts the CV step's dominant cost
-        self.graph_train = pad_csr(train_adj, -1)
-        self.graph_full = pad_csr(full_adj, -1)
+        if cfg.graph_format == "edgelist":
+            # flat-CSR layout: O(E) storage, per-batch edge enumeration for
+            # the CV full-neighborhood term (power-law graphs)
+            if cfg.use_pallas:
+                raise ValueError("--use_pallas requires the padded graph "
+                                 "format")
+            self.graph_train = flat_csr(train_adj, cfg.fadj_edge_mult)
+            self.graph_full = flat_csr(full_adj, cfg.fadj_edge_mult)
+        else:
+            # pad each graph to its own true (post-cap) max degree: the
+            # full-neighborhood gather is row-issue-rate bound, so tighter
+            # padding directly cuts the CV step's dominant cost
+            self.graph_train = pad_csr(train_adj, -1)
+            self.graph_full = pad_csr(full_adj, -1)
 
         # model specs: shared params, different estimator wiring
         # (train.py:107-119)
@@ -154,6 +163,14 @@ class Trainer:
         self.epoch_stats = {}
 
     # ------------------------------------------------------------------
+    def _eval_params(self):
+        """Weights used for evaluation: the Polyak/EMA average when enabled
+        (the working version of the reference's dormant backup_model/
+        restore_model swap, gcn/models.py:104-121), raw weights otherwise."""
+        if self.cfg.polyak_decay > 0 and self.state.avg_params is not None:
+            return self.state.avg_params
+        return self.state.params
+
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
@@ -214,7 +231,7 @@ class Trainer:
         data_ids = np.asarray(data_ids, np.int32)
         bm = self._batch_matrix(data_ids, cfg.test_batch_size, n)
         self.eval_histories, out = self._eval_epoch(
-            self.state.params, self.eval_histories, self.graph_full,
+            self._eval_params(), self.eval_histories, self.graph_full,
             self.test_features, self.labels, self.importance_test,
             jnp.asarray(bm), self._next_key())
         nvalid = np.asarray(out["nvalid"])          # true rows per batch

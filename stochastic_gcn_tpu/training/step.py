@@ -35,6 +35,9 @@ class TrainState:
     opt_state: tuple
     histories: tuple      # per agg layer: tuple of [N+1, d] arrays
     step: jax.Array
+    # Polyak/EMA parameter average (gcn/models.py:104-121 — dormant in the
+    # reference, a working feature here): None unless polyak_decay > 0.
+    avg_params: Optional[dict] = None
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -50,10 +53,12 @@ def init_train_state(key: jax.Array, cfg: Config, spec: M.ModelSpec,
     tx = make_optimizer(cfg)
     row_multiple = max(8, cfg.dp)
     hist_dtype = jnp.dtype(cfg.history_dtype)
+    avg = jax.tree_util.tree_map(jnp.copy, params) \
+        if cfg.polyak_decay > 0 else None
     return TrainState(params=params, opt_state=tx.init(params),
                       histories=M.init_histories(spec, num_nodes,
                                                  row_multiple, hist_dtype),
-                      step=jnp.zeros((), jnp.int32))
+                      step=jnp.zeros((), jnp.int32), avg_params=avg)
 
 
 def scatter_histories(histories, new_histories, fields, num_nodes: int):
@@ -98,7 +103,7 @@ def _batch_stats(pack: BatchFields, graph, num_nodes: int, cv: bool):
 
 
 def build_train_step(cfg: Config, spec: M.ModelSpec,
-                     degrees: Tuple[int, ...], num_nodes: int):
+                     degrees: Tuple[int, ...], num_nodes: int, mesh=None):
     """Raw (unjitted) ``step(state, graph, features, labels, importance,
     batch_ids, key) -> (state', metrics)`` — for custom jit wrapping
     (sharded variants live in parallel/mesh.py)."""
@@ -119,7 +124,7 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
         def loss_fn(params):
             logits, new_h = M.forward(
                 params, spec, pack, graph, state.histories, features,
-                k_drop, cfg.keep_prob, train=True)
+                k_drop, cfg.keep_prob, train=True, mesh=mesh)
             loss, acc = M.loss_and_metrics(params, spec, logits, y, valid,
                                            cfg.weight_decay)
             return loss, (acc, new_h)
@@ -128,12 +133,21 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if cfg.polyak_decay > 0:
+            # average_model (gcn/models.py:104-108): EMA over post-update
+            # weights, maintained on device every step
+            d = cfg.polyak_decay
+            avg_params = jax.tree_util.tree_map(
+                lambda a, p: a * d + p * (1 - d), state.avg_params, params)
+        else:
+            avg_params = state.avg_params
         histories = scatter_histories(state.histories, new_h,
                                       pack.fields[:-1], num_nodes)
         amt, field_sizes, adj_sizes, fadj_sizes = _batch_stats(
             pack, graph, num_nodes, spec.cv)
         new_state = TrainState(params=params, opt_state=opt_state,
-                               histories=histories, step=state.step + 1)
+                               histories=histories, step=state.step + 1,
+                               avg_params=avg_params)
         return new_state, {"loss": loss, "accuracy": acc, "amt_data": amt,
                            "field_sizes": field_sizes,
                            "adj_sizes": adj_sizes,
@@ -150,7 +164,7 @@ def make_train_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
 
 
 def build_train_epoch(cfg: Config, spec: M.ModelSpec,
-                      degrees: Tuple[int, ...], num_nodes: int):
+                      degrees: Tuple[int, ...], num_nodes: int, mesh=None):
     """Whole-epoch runner: ``lax.scan`` of the train step over a [S, B]
     batch-id matrix.
 
@@ -161,7 +175,7 @@ def build_train_epoch(cfg: Config, spec: M.ModelSpec,
     itself.  Returns (state', {loss, accuracy (last step, matching the
     reference's window-1 Averager), amt_data (summed)}).
     """
-    _step = build_train_step(cfg, spec, degrees, num_nodes)
+    _step = build_train_step(cfg, spec, degrees, num_nodes, mesh=mesh)
 
     def _epoch(state: TrainState, graph, features, labels, importance,
                batch_matrix, key):
@@ -172,7 +186,7 @@ def build_train_epoch(cfg: Config, spec: M.ModelSpec,
                         m["field_sizes"], m["adj_sizes"], m["fadj_sizes"])
 
         state, (losses, accs, amts, fs, adjs, fadjs) = jax.lax.scan(
-            body, state, batch_matrix)
+            body, state, batch_matrix, unroll=cfg.scan_unroll)
         return state, {"loss": losses[-1], "accuracy": accs[-1],
                        "amt_data": jnp.sum(amts),
                        "field_sizes": jnp.sum(fs, axis=0),
@@ -189,7 +203,7 @@ def make_train_epoch(cfg: Config, spec: M.ModelSpec,
 
 
 def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
-                     degrees: Tuple[int, ...], num_nodes: int):
+                     degrees: Tuple[int, ...], num_nodes: int, mesh=None):
     """Whole-evaluation runner: scan of the eval step over [S, B] batch ids;
     returns per-batch losses/accuracies and stacked predictions with ONE
     host sync (train.py:133-160 equivalent)."""
@@ -206,7 +220,7 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
         y = jnp.take(labels, batch_field, axis=0)
         logits, new_h = M.forward(params, spec, pack, graph, histories,
                                   features, k_drop, cfg.keep_prob,
-                                  train=False)
+                                  train=False, mesh=mesh)
         loss, acc = M.loss_and_metrics(params, spec, logits, y, valid,
                                        cfg.weight_decay)
         from ..utils.metrics import device_f1_counts
@@ -225,7 +239,7 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
 
         keys = jax.random.split(key, batch_matrix.shape[0])
         histories, (losses, accs, tps, fps, fns, nvalid) = jax.lax.scan(
-            body, histories, (batch_matrix, keys))
+            body, histories, (batch_matrix, keys), unroll=cfg.scan_unroll)
         # per-class counters summed over batches: evaluation fetches only
         # C-length vectors, never the [N, C] prediction matrix (multi-MB
         # device->host transfers dominate eval time on tunneled runtimes)

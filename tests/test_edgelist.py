@@ -1,0 +1,130 @@
+"""Edge-list (flat-CSR) graph format: --graph_format=edgelist.
+
+The padded [N, Dcap] layout pays O(N * max_degree) HBM and gathers
+F * max_degree history rows per CV full-neighborhood term; the flat-CSR
+layout stores O(E) and enumerates only the batch's actual edges — the
+power-law answer to SURVEY.md §7.3 hard part #1 (fadj row lengths).
+Semantics must be identical when the edge budget is sufficient.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stochastic_gcn_tpu.config import Config
+from stochastic_gcn_tpu.data import graph as G
+from stochastic_gcn_tpu.data.loaders import synthetic_dataset
+from stochastic_gcn_tpu.training.loop import Trainer
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return synthetic_dataset(num_nodes=150, feature_dim=16, num_classes=4,
+                             avg_degree=5, seed=0)
+
+
+def test_graph_rows_equivalence(ds):
+    pg = G.pad_csr(ds.full_adj)
+    fg = G.flat_csr(ds.full_adj)
+    assert fg.pad_degree == pg.pad_degree
+    field = jnp.asarray(
+        np.r_[np.arange(0, 150, 7), [150, 150]].astype(np.int32))
+    pn, pw, pd = G.graph_rows(pg, field)
+    fn, fw, fd = G.graph_rows(fg, field)
+    np.testing.assert_array_equal(np.asarray(pn), np.asarray(fn))
+    np.testing.assert_allclose(np.asarray(pw), np.asarray(fw))
+    np.testing.assert_array_equal(np.asarray(pd), np.asarray(fd))
+
+
+def test_full_neighborhood_edgelist_matches_padded(ds):
+    from stochastic_gcn_tpu.models.aggregators import full_neighborhood_mean
+    pg = G.pad_csr(ds.full_adj)
+    fg = G.flat_csr(ds.full_adj, edge_mult=1e9)
+    rng = np.random.default_rng(0)
+    hist = jnp.asarray(rng.normal(size=(151, 8)).astype(np.float32))
+    hist = hist.at[150].set(0.0)
+    field = jnp.asarray(
+        np.r_[rng.permutation(150)[:40], [150, 150]].astype(np.int32))
+    for square in (False, True):
+        a = full_neighborhood_mean(hist, pg, field, square=square)
+        b = full_neighborhood_mean(hist, fg, field, square=square)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
+
+def test_compute_importance_equivalence(ds):
+    from stochastic_gcn_tpu.sampler.scheduler import compute_importance
+    pg = G.pad_csr(ds.full_adj)
+    fg = G.flat_csr(ds.full_adj)
+    np.testing.assert_allclose(np.asarray(compute_importance(pg)),
+                               np.asarray(compute_importance(fg)),
+                               rtol=1e-6)
+
+
+def test_edgelist_cv_trajectory_matches_padded(ds):
+    """Same RNG stream + same math -> identical training trajectory when
+    the edge budget covers every batch."""
+    base = dict(dataset="synthetic", batch_size=64, degree=1, test_degree=1,
+                cv=True, test_cv=True, hidden1=16, dropout=0.2, seed=1)
+    tr_a = Trainer(Config(**base), ds)
+    tr_b = Trainer(Config(**base, graph_format="edgelist",
+                          fadj_edge_mult=1e9), ds)
+    for _ in range(3):
+        la, *_ = tr_a.train_epoch()
+        lb, *_ = tr_b.train_epoch()
+    np.testing.assert_allclose(la, lb, rtol=1e-5)
+    ev_a = tr_a.evaluate(ds.val_d)
+    ev_b = tr_b.evaluate(ds.val_d)
+    np.testing.assert_allclose(ev_a[0], ev_b[0], rtol=1e-4)
+
+
+def test_edgelist_importance_trajectory_matches_padded(ds):
+    base = dict(dataset="synthetic", batch_size=64, degree=2, test_degree=2,
+                importance=True, hidden1=16, dropout=0.0, seed=3)
+    tr_a = Trainer(Config(**base), ds)
+    tr_b = Trainer(Config(**base, graph_format="edgelist",
+                          fadj_edge_mult=1e9), ds)
+    for _ in range(2):
+        la, *_ = tr_a.train_epoch()
+        lb, *_ = tr_b.train_epoch()
+    np.testing.assert_allclose(la, lb, rtol=1e-5)
+
+
+def test_edgelist_cv_exact_inference(ds):
+    """The CV -> exact property (train.py:339-341) holds on the edgelist
+    path."""
+    from tests.test_estimators import dense_forward_gcn_pp, eval_logits
+    cfg = Config(dataset="synthetic", batch_size=64, degree=1,
+                 test_degree=1, cv=True, test_cv=True, hidden1=16,
+                 dropout=0.0, seed=1, test_batch_size=75,
+                 graph_format="edgelist", fadj_edge_mult=1e9)
+    tr = Trainer(cfg, ds)
+    ids = np.arange(ds.num_data, dtype=np.int32)
+    with jax.default_matmul_precision("float32"):
+        for _ in range(cfg.num_layers + 1):
+            preds = eval_logits(tr, ids)
+    logits = dense_forward_gcn_pp(ds, tr.state.params, ds.full_adj)
+    expect = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    np.testing.assert_allclose(preds, expect, atol=2e-3)
+
+
+def test_edgelist_truncation_still_runs(ds):
+    """An undersized edge budget drops trailing edges but must stay finite
+    and trainable."""
+    cfg = Config(dataset="synthetic", batch_size=64, degree=1,
+                 test_degree=1, cv=True, test_cv=True, hidden1=16,
+                 dropout=0.2, seed=1, graph_format="edgelist",
+                 fadj_edge_mult=0.25)
+    tr = Trainer(cfg, ds)
+    assert tr.graph_train.edge_cap_per_row < tr.graph_train.max_degree
+    for _ in range(3):
+        loss, *_ = tr.train_epoch()
+    assert np.isfinite(loss)
+
+
+def test_edgelist_rejects_pallas(ds):
+    with pytest.raises(ValueError):
+        Trainer(Config(dataset="synthetic", cv=True, use_pallas=True,
+                       graph_format="edgelist"), ds)

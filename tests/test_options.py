@@ -70,3 +70,19 @@ def test_bf16_cv_inference_close_to_exact(ds):
     logits = dense_forward_gcn_pp(ds, tr.state.params, ds.full_adj)
     expect = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
     np.testing.assert_allclose(preds, expect, atol=0.03)
+
+
+def test_scan_unroll_matches_default(ds):
+    """scan_unroll>1 is a pure scheduling change: identical RNG stream and
+    math, so the training trajectory matches unroll=1 exactly."""
+    base = dict(dataset="synthetic", batch_size=64, degree=1, test_degree=1,
+                cv=True, test_cv=True, hidden1=16, dropout=0.3, seed=1)
+    tr_a = Trainer(Config(**base), ds)
+    tr_b = Trainer(Config(**base, scan_unroll=4), ds)
+    for _ in range(3):
+        la, *_ = tr_a.train_epoch()
+        lb, *_ = tr_b.train_epoch()
+    np.testing.assert_allclose(la, lb, rtol=1e-6)
+    ev_a = tr_a.evaluate(ds.val_d)
+    ev_b = tr_b.evaluate(ds.val_d)
+    np.testing.assert_allclose(ev_a[0], ev_b[0], rtol=1e-5)

@@ -143,3 +143,27 @@ def test_sharded_multiple_steps(setup):
         batch = jax.device_put(jnp.asarray(ids), shard)
         state, metrics = step(state, *args, batch, jax.random.PRNGKey(i))
         assert np.isfinite(float(metrics["loss"]))
+
+
+def test_halo_exchange_matches_gspmd(setup):
+    """The explicit halo-exchange lowering of the CV full-neighborhood term
+    (local contraction + psum_scatter) matches GSPMD's default lowering
+    and the single-device result."""
+    cfg, ds = setup
+    n_dev = len(jax.devices())
+    s_halo, m_halo = _run_step(cfg, ds, n_dev, shard_history=True)
+    s_gspmd, m_gspmd = _run_step(cfg.replace(halo_exchange=False), ds,
+                                 n_dev, shard_history=True)
+    s_one, m_one = _run_step(cfg, ds, 1)
+    np.testing.assert_allclose(float(m_halo["loss"]),
+                               float(m_gspmd["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_halo["loss"]), float(m_one["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_halo.params),
+                    jax.tree_util.tree_leaves(s_gspmd.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_halo.histories),
+                    jax.tree_util.tree_leaves(s_one.histories)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
