@@ -126,15 +126,19 @@ class FlatGraph:
 
     Attributes:
       indptr: [N+2] int32 row starts; row N is the empty sentinel row.
-      idx:    [E] int32 flat neighbor ids.
-      w:      [E] float32 normalized edge weights.
+      idx:    [E + max_degree] int32 flat neighbor ids, tail-padded with
+              the sentinel id N so fixed-width row windows never clamp.
+      w:      [E + max_degree] float32 edge weights, tail-padded with 0.
       deg:    [N+1] int32 row lengths; deg[N] = 0.
       max_degree:       static — true max row length (sampler row window).
-      edge_cap_per_row: static — per-output-row edge budget for the
-        full-neighborhood enumeration: a batch of F rows gets a static
-        capacity of ``F * edge_cap_per_row`` flat slots (clamped to
-        ``F * max_degree``).  Batches whose total degree exceeds the budget
-        have trailing edges dropped — size it via ``--fadj_edge_mult``.
+      edge_cap_per_row: static — per-ROW edge budget for the CV
+        full-neighborhood term: each output row reads a contiguous
+        ``edge_cap_per_row``-wide window of its CSR range (ONE gather
+        issue per row instead of one per edge slot).  Rows with degree
+        above the budget lose their trailing CSR edges — the gather-time
+        analogue of the reference's --max_degree load-time subsampling
+        (gcn/utils.py:261-263, but without renormalization); size it via
+        ``--fadj_edge_mult`` or cap degrees properly with --pad_degree.
     """
     indptr: jax.Array
     idx: jax.Array
@@ -178,11 +182,36 @@ def flat_csr(adj: sp.csr_matrix, edge_mult: float = 4.0) -> FlatGraph:
     indptr[n + 1] = adj.indptr[-1]          # sentinel row N: empty
     deg_out = np.zeros(n + 1, np.int32)
     deg_out[:n] = deg
+    # tail padding so [start, start + max_degree) windows stay in bounds
+    idx = np.concatenate([adj.indices.astype(np.int32),
+                          np.full(max_deg, n, np.int32)])
+    w = np.concatenate([adj.data.astype(np.float32),
+                        np.zeros(max_deg, np.float32)])
     return FlatGraph(indptr=jnp.asarray(indptr),
-                     idx=jnp.asarray(adj.indices.astype(np.int32)),
-                     w=jnp.asarray(adj.data.astype(np.float32)),
+                     idx=jnp.asarray(idx),
+                     w=jnp.asarray(w),
                      deg=jnp.asarray(deg_out),
                      max_degree=max_deg, edge_cap_per_row=cap_row)
+
+
+def flat_row_windows(graph: "FlatGraph", field: jax.Array, width: int):
+    """[F, width] neighbor/weight windows from a FlatGraph, ONE slice-gather
+    issue per row (``vmap(dynamic_slice)`` lowers to a gather of contiguous
+    slices) — row gathers are issue-rate bound on TPU, so per-edge element
+    gathers would cost ``width`` times more.  Rows longer than ``width``
+    are truncated to their first ``width`` CSR entries; shorter rows are
+    masked to sentinel/0 (tail padding in idx/w keeps windows in bounds)."""
+    n = graph.num_nodes
+    start = jnp.take(graph.indptr, field, axis=0)           # [F]
+    deg = jnp.take(graph.deg, field, axis=0)
+    nbr = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(graph.idx, (s,), (width,)))(start)
+    w = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(graph.w, (s,), (width,)))(start)
+    valid = jnp.arange(width, dtype=jnp.int32)[None, :] < deg[:, None]
+    rows_nbr = jnp.where(valid, nbr, n)
+    rows_w = jnp.where(valid, w, 0.0)
+    return rows_nbr, rows_w, deg
 
 
 def graph_rows(graph, field: jax.Array):
@@ -190,16 +219,7 @@ def graph_rows(graph, field: jax.Array):
     the single dispatch point between the two graph formats.  Empty slots
     hold the sentinel id N / weight 0 in both."""
     if isinstance(graph, FlatGraph):
-        n = graph.num_nodes
-        dcap = graph.pad_degree
-        start = jnp.take(graph.indptr, field, axis=0)       # [F]
-        deg = jnp.take(graph.deg, field, axis=0)
-        slot = jnp.arange(dcap, dtype=jnp.int32)[None, :]
-        valid = slot < deg[:, None]
-        src = jnp.where(valid, start[:, None] + slot, 0)
-        rows_nbr = jnp.where(valid, jnp.take(graph.idx, src, axis=0), n)
-        rows_w = jnp.where(valid, jnp.take(graph.w, src, axis=0), 0.0)
-        return rows_nbr, rows_w, deg
+        return flat_row_windows(graph, field, graph.pad_degree)
     return (jnp.take(graph.nbr, field, axis=0),
             jnp.take(graph.w, field, axis=0),
             jnp.take(graph.deg, field, axis=0))

@@ -147,38 +147,24 @@ def full_neighborhood_mean_edgelist(hist: jax.Array, graph: FlatGraph,
                                     square: bool = False) -> jax.Array:
     """``(Â_full · h̄)[field_out]`` over a flat-CSR graph.
 
-    Instead of padding every row to the graph's max degree, the batch's
-    full neighborhoods are enumerated into a flat buffer of static capacity
-    ``F * edge_cap_per_row`` (row -> slot mapping via a vectorized binary
-    search over the cumulative degree — an O(N)-scatter-free construction)
-    and reduced with a sorted segment-sum.  Gather traffic is proportional
-    to the batch's actual edge count, not ``F * max_degree`` — the right
-    trade for power-law graphs (NELL hubs, SURVEY.md §7.3 hard part #1).
+    Same contraction as the padded path, but over [F, edge_cap_per_row]
+    row windows slice-gathered from the flat CSR arrays — one gather issue
+    per row (see data/graph.py::flat_row_windows) with window width set by
+    the edge budget (~a few x mean degree) instead of the graph's MAX
+    degree.  On power-law graphs (max >> mean) this cuts both HBM (O(E)
+    storage) and the history-row gather issues, the CV step's dominant
+    cost (PERF.md) — SURVEY.md §7.3 hard part #1.
 
-    Batches whose total degree exceeds the capacity lose trailing edges
+    Rows with degree above the budget lose their trailing CSR edges
     (size via --fadj_edge_mult; see FlatGraph.edge_cap_per_row).
     """
-    n = graph.num_nodes
-    f = field_out.shape[0]
-    e_cap = min(f * graph.edge_cap_per_row, f * graph.max_degree)
-    deg = jnp.take(graph.deg, field_out, axis=0)          # [F]
-    cum = jnp.cumsum(deg)
-    total = cum[-1]
-    e = jnp.arange(e_cap, dtype=jnp.int32)
-    row = jnp.searchsorted(cum, e, side="right").astype(jnp.int32)
-    rowc = jnp.minimum(row, f - 1)
-    valid = e < total
-    start = jnp.take(graph.indptr, jnp.take(field_out, rowc, axis=0),
-                     axis=0)
-    offset = e - (jnp.take(cum, rowc, axis=0) - jnp.take(deg, rowc, axis=0))
-    src = jnp.where(valid, start + offset, 0)
-    nbr = jnp.where(valid, jnp.take(graph.idx, src, axis=0), n)
-    wgt = jnp.where(valid, jnp.take(graph.w, src, axis=0), 0.0)
+    from ..data.graph import flat_row_windows
+    width = min(graph.edge_cap_per_row, graph.max_degree)
+    fnbr, fw, _ = flat_row_windows(graph, field_out, width)
     if square:
-        wgt = jnp.square(wgt)
-    rows = jnp.take(hist, nbr, axis=0).astype(wgt.dtype)  # [e_cap, d]
-    return jax.ops.segment_sum(wgt[:, None] * rows, rowc, num_segments=f,
-                               indices_are_sorted=True)
+        fw = jnp.square(fw)
+    rows = jnp.take(hist, fnbr, axis=0)                   # [F, width, d]
+    return jnp.einsum("fk,fkd->fd", fw, rows)
 
 
 def ema_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
