@@ -145,7 +145,8 @@ def main():
     edges_per_s = amt / dt
     steps = total_steps
 
-    fast = bool(os.environ.get("BENCH_FAST"))
+    fast = os.environ.get("BENCH_FAST", "") not in ("", "0", "false",
+                                                    "False")
     # bf16 history variant (documented TPU option, --history_dtype=bfloat16;
     # the CV estimator is unbiased for any stored h-bar, so this changes
     # variance only): halves the dominant full-neighborhood gather bytes

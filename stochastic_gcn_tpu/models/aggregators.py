@@ -35,16 +35,24 @@ def fanout_gather(x: jax.Array, slot_pos: jax.Array,
     return jnp.einsum("fk,fkd->fd", slot_w, g)
 
 
-def full_neighborhood_mean_halo(hist: jax.Array, fnbr: jax.Array,
-                                fw: jax.Array, mesh) -> jax.Array:
-    """``Â_full · h̄`` with the history row-sharded along the node axis.
+def _halo_tiles(hist: jax.Array, ids: jax.Array, mesh) -> bool:
+    """True when the owner-routed halo lowering applies: >1 device and the
+    leading dims tile evenly over the mesh axis."""
+    return (mesh is not None and mesh.devices.size > 1
+            and ids.shape[0] % mesh.devices.size == 0
+            and hist.shape[0] % mesh.devices.size == 0)
 
-    Explicit halo exchange replacing GSPMD's default lowering (masked local
-    gather + all-reduce of the [F, Dcap, d] gather RESULT): each chip
-    gathers/contracts the rows it owns for ALL output rows, then a single
-    ``psum_scatter`` of the contracted [F, d] partials hands each chip its
-    own batch shard — Dcap x fewer bytes over ICI, and the contraction
-    runs before communication (SURVEY.md §5.8).
+
+def _owner_routed(hist: jax.Array, ids: jax.Array, extras, partial_fn, mesh):
+    """Owner-routed history access over a row-sharded [N, d] ``hist``.
+
+    Shared halo-exchange skeleton (SURVEY.md §5.8): all chips all-gather
+    the (small, integer) request tensors, each chip serves the rows it
+    owns (masked local gather), ``partial_fn(rows, mine, *extras) ->
+    [P, F/P, d]`` reduces them chip-side, and one ``psum_scatter`` hands
+    every chip its own shard of the summed result — so ICI traffic scales
+    with the request count, never with N, unlike GSPMD's default lowering
+    which all-gathers the whole history.
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -53,56 +61,48 @@ def full_neighborhood_mean_halo(hist: jax.Array, fnbr: jax.Array,
     p = mesh.shape[axis]
     n_loc = hist.shape[0] // p
 
-    def body(h_loc, fnbr_loc, fw_loc):
-        # requests from every chip: [P, F/P, Dcap]
-        nbr_all = jax.lax.all_gather(fnbr_loc, axis)
-        w_all = jax.lax.all_gather(fw_loc, axis)
+    def body(h_loc, ids_loc, *ex_loc):
+        ids_all = jax.lax.all_gather(ids_loc, axis)      # [P, F/P, ...]
+        ex_all = [jax.lax.all_gather(e, axis) for e in ex_loc]
         lo = jax.lax.axis_index(axis) * n_loc
-        loc = nbr_all - lo
+        loc = ids_all - lo
         mine = (loc >= 0) & (loc < n_loc)
         rows = jnp.take(h_loc, jnp.clip(loc, 0, n_loc - 1), axis=0)
-        part = jnp.einsum("pfk,pfkd->pfd",
-                          jnp.where(mine, w_all, 0.0).astype(jnp.float32),
-                          rows.astype(jnp.float32))
-        # sum partials across chips, keeping only this chip's batch shard
+        part = partial_fn(rows, mine, *ex_all)
+        # sum partials across chips, keeping only this chip's shard
         return jax.lax.psum_scatter(part, axis, scatter_dimension=0,
                                     tiled=False)
 
-    return shard_map(body, mesh=mesh,
-                     in_specs=(P(axis, None), P(axis, None), P(axis, None)),
-                     out_specs=P(axis, None))(hist, fnbr, fw)
+    id_spec = P(axis) if ids.ndim == 1 else P(axis, None)
+    specs = (P(axis, None), id_spec) + tuple(P(axis, None) for _ in extras)
+    return shard_map(body, mesh=mesh, in_specs=specs,
+                     out_specs=P(axis, None))(hist, ids, *extras)
+
+
+def full_neighborhood_mean_halo(hist: jax.Array, fnbr: jax.Array,
+                                fw: jax.Array, mesh) -> jax.Array:
+    """``Â_full · h̄`` with the history row-sharded along the node axis:
+    owner-side contraction, then psum_scatter of the [F, d] partials —
+    Dcap x fewer ICI bytes than all-reducing the [F, Dcap, d] gather."""
+    def contract(rows, mine, w_all):
+        return jnp.einsum("pfk,pfkd->pfd",
+                          jnp.where(mine, w_all, 0.0).astype(jnp.float32),
+                          rows.astype(jnp.float32))
+    return _owner_routed(hist, fnbr, (fw,), contract, mesh)
 
 
 def history_gather(hist: jax.Array, ids: jax.Array, mesh=None) -> jax.Array:
     """``h̄[ids]`` ([C, d]) from a possibly row-sharded history.
 
-    With a mesh, routes each row from its owner chip explicitly (local
-    masked gather + psum_scatter of the [C, d] partials) — half the ICI
-    bytes of GSPMD's default all-reduce lowering.  Falls back to a plain
-    gather when unsharded or the shapes don't tile."""
-    if (mesh is None or mesh.devices.size <= 1
-            or ids.shape[0] % mesh.devices.size
-            or hist.shape[0] % mesh.devices.size):
+    With a mesh, routes each row from its owner chip explicitly — half the
+    ICI bytes of GSPMD's default all-reduce lowering.  Falls back to a
+    plain gather when unsharded or the shapes don't tile."""
+    if not _halo_tiles(hist, ids, mesh):
         return jnp.take(hist, ids, axis=0)
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
 
-    axis = mesh.axis_names[0]
-    p = mesh.shape[axis]
-    n_loc = hist.shape[0] // p
-
-    def body(h_loc, ids_loc):
-        ids_all = jax.lax.all_gather(ids_loc, axis)        # [P, C/P]
-        lo = jax.lax.axis_index(axis) * n_loc
-        loc = ids_all - lo
-        mine = (loc >= 0) & (loc < n_loc)
-        rows = jnp.take(h_loc, jnp.clip(loc, 0, n_loc - 1), axis=0)
-        part = jnp.where(mine[..., None], rows, 0).astype(jnp.float32)
-        return jax.lax.psum_scatter(part, axis, scatter_dimension=0,
-                                    tiled=False)
-
-    return shard_map(body, mesh=mesh, in_specs=(P(axis, None), P(axis)),
-                     out_specs=P(axis, None))(hist, ids)
+    def mask_rows(rows, mine):
+        return jnp.where(mine[..., None], rows, 0).astype(jnp.float32)
+    return _owner_routed(hist, ids, (), mask_rows, mesh)
 
 
 def full_neighborhood_mean(hist: jax.Array, graph: PaddedGraph,
@@ -124,14 +124,12 @@ def full_neighborhood_mean(hist: jax.Array, graph: PaddedGraph,
     """
     if isinstance(graph, FlatGraph):
         return full_neighborhood_mean_edgelist(hist, graph, field_out,
-                                               square=square)
+                                               square=square, mesh=mesh)
     fnbr = jnp.take(graph.nbr, field_out, axis=0)     # [F, Dcap]
     fw = jnp.take(graph.w, field_out, axis=0)
     if square:
         fw = jnp.square(fw)
-    if (mesh is not None and mesh.devices.size > 1
-            and field_out.shape[0] % mesh.devices.size == 0
-            and hist.shape[0] % mesh.devices.size == 0):
+    if _halo_tiles(hist, field_out, mesh):
         return full_neighborhood_mean_halo(hist, fnbr, fw, mesh)
     if use_pallas:
         from ..ops.pallas_spmm import hbm_gather_aggregate
@@ -144,7 +142,8 @@ def full_neighborhood_mean(hist: jax.Array, graph: PaddedGraph,
 
 def full_neighborhood_mean_edgelist(hist: jax.Array, graph: FlatGraph,
                                     field_out: jax.Array,
-                                    square: bool = False) -> jax.Array:
+                                    square: bool = False,
+                                    mesh=None) -> jax.Array:
     """``(Â_full · h̄)[field_out]`` over a flat-CSR graph.
 
     Same contraction as the padded path, but over [F, edge_cap_per_row]
@@ -163,6 +162,10 @@ def full_neighborhood_mean_edgelist(hist: jax.Array, graph: FlatGraph,
     fnbr, fw, _ = flat_row_windows(graph, field_out, width)
     if square:
         fw = jnp.square(fw)
+    if _halo_tiles(hist, field_out, mesh):
+        # row-sharded history: same owner-routed exchange as the padded
+        # layout (the window form is shape-identical)
+        return full_neighborhood_mean_halo(hist, fnbr, fw, mesh)
     rows = jnp.take(hist, fnbr, axis=0)                   # [F, width, d]
     return jnp.einsum("fk,fkd->fd", fw, rows)
 

@@ -10,6 +10,7 @@ state and sampler RNG, which the reference loses on resume.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import pickle
 
@@ -48,6 +49,18 @@ def load_checkpoint(ckpt_dir: str, state_template, eval_hist_template,
     payload = jax.tree_util.tree_unflatten(treedef, leaves)
     state, eval_hist, key = (payload["state"], payload["eval_histories"],
                              payload["key"])
+    # Reconcile the Polyak average with the CURRENT run's polyak_decay:
+    # a checkpoint saved without it (avg_params=None) must not clobber a
+    # resuming polyak run (the step's EMA tree_map would crash on None) —
+    # re-seed the average from the restored weights; conversely drop a
+    # saved average when the new run has polyak off.
+    t_avg = getattr(state_template, "avg_params", None)
+    s_avg = getattr(state, "avg_params", None)
+    if t_avg is not None and s_avg is None:
+        state = dataclasses.replace(
+            state, avg_params=jax.tree_util.tree_map(np.array, state.params))
+    elif t_avg is None and s_avg is not None:
+        state = dataclasses.replace(state, avg_params=None)
     if not load_history:
         # keep the caller's (zero) histories, restore weights/opt only
         state = type(state_template)(

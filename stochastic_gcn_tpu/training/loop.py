@@ -54,6 +54,11 @@ def to_device_features(cfg: Config, feats, num_nodes: int):
 
 class Trainer:
     def __init__(self, cfg: Config, ds: Dataset):
+        if cfg.use_pallas and cfg.dp > 1:
+            # the halo-exchange lowering would silently take precedence
+            # over the Pallas full-precision kernel (and the kernel cannot
+            # read a row-sharded history) — refuse the combination
+            raise ValueError("--use_pallas is single-chip only (--dp 1)")
         if cfg.det_dropout and (cfg.importance or cfg.test_importance):
             # the IS path produces no cross-term (madj) weights — the
             # reference's importance sampler doesn't either

@@ -94,8 +94,15 @@ def _batch_stats(pack: BatchFields, graph, num_nodes: int, cv: bool):
     field_sizes = jnp.stack(
         [jnp.sum((f < num_nodes).astype(jnp.int32)) for f in pack.fields])
     if cv:
+        from ..data.graph import FlatGraph
+        deg = graph.deg
+        if isinstance(graph, FlatGraph):
+            # the edgelist full-neighborhood term reads at most
+            # edge_cap_per_row edges per row — account what is gathered,
+            # not the full row length
+            deg = jnp.minimum(deg, graph.edge_cap_per_row)
         fadj_sizes = jnp.stack(
-            [jnp.sum(jnp.take(graph.deg, f, axis=0))
+            [jnp.sum(jnp.take(deg, f, axis=0))
              for f in pack.fields[1:]])
     else:
         fadj_sizes = jnp.zeros((len(pack.layers),), jnp.int32)

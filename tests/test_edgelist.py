@@ -128,3 +128,30 @@ def test_edgelist_rejects_pallas(ds):
     with pytest.raises(ValueError):
         Trainer(Config(dataset="synthetic", cv=True, use_pallas=True,
                        graph_format="edgelist"), ds)
+
+
+def test_edgelist_sharded_history_matches_single_device(ds):
+    """dp>1 with sharded history + edgelist graphs goes through the halo
+    lowering and matches single-device training."""
+    import jax as _jax
+    n_dev = len(_jax.devices())
+    base = dict(dataset="synthetic", batch_size=64, degree=1, test_degree=1,
+                cv=True, test_cv=True, hidden1=16, dropout=0.2, seed=1,
+                graph_format="edgelist", fadj_edge_mult=1e9,
+                test_batch_size=64)
+    tr1 = Trainer(Config(**base), ds)
+    trN = Trainer(Config(**base, dp=n_dev), ds)
+    for _ in range(2):
+        l1, *_ = tr1.train_epoch()
+        lN, *_ = trN.train_epoch()
+    np.testing.assert_allclose(l1, lN, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(tr1.state.histories),
+                    jax.tree_util.tree_leaves(trN.state.histories)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_use_pallas_rejects_dp(ds):
+    with pytest.raises(ValueError):
+        Trainer(Config(dataset="synthetic", cv=True, use_pallas=True, dp=2),
+                ds)

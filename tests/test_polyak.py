@@ -81,3 +81,29 @@ def test_polyak_disabled_is_none(ds):
     tr.train_epoch()
     assert tr.state.avg_params is None
     assert tr._eval_params() is tr.state.params
+
+
+def test_checkpoint_polyak_mismatch_reconciles(ds):
+    """Resuming a non-polyak checkpoint in a polyak run must re-seed the
+    EMA from the restored weights (not crash); the reverse drops it."""
+    base = dict(dataset="synthetic", batch_size=64, degree=1, test_degree=1,
+                cv=True, test_cv=True, hidden1=16, dropout=0.2, seed=1)
+    tr0 = Trainer(Config(**base), ds)
+    tr0.train_epoch()
+    tr0.save()
+
+    tr1 = Trainer(Config(**base, polyak_decay=0.9), ds)
+    tr1.load(load_history=True)
+    assert tr1.state.avg_params is not None
+    for a, p in zip(jax.tree_util.tree_leaves(tr1.state.avg_params),
+                    jax.tree_util.tree_leaves(tr1.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(p))
+    loss, *_ = tr1.train_epoch()      # EMA update runs without crashing
+    assert np.isfinite(loss)
+
+    tr1.save()
+    tr2 = Trainer(Config(**base), ds)  # polyak off again
+    tr2.load(load_history=True)
+    assert tr2.state.avg_params is None
+    loss, *_ = tr2.train_epoch()
+    assert np.isfinite(loss)
