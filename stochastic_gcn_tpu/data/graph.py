@@ -177,6 +177,23 @@ def flat_csr(adj: sp.csr_matrix, edge_mult: float = 4.0) -> FlatGraph:
     mean_deg = float(deg.mean()) if deg.size else 1.0
     cap_row = int(min(max_deg, max(1, int(np.ceil(edge_mult * mean_deg)))))
 
+    # Surface the estimator deviation at build time: rows above the budget
+    # lose trailing edges WITHOUT renormalization in the CV full term
+    # (unlike the reference's --max_degree load-time subsample, which keeps
+    # rows normalized — gcn/utils.py:532-543).
+    over = deg > cap_row
+    if over.any():
+        lost = int((deg[over] - cap_row).sum())
+        total = int(deg.sum())
+        import warnings
+        warnings.warn(
+            f"flat_csr: edge_cap_per_row={cap_row} truncates "
+            f"{int(over.sum())} rows (degree > cap), dropping "
+            f"{lost}/{total} edges ({100.0 * lost / max(total, 1):.2f}%) "
+            "from the CV full-neighborhood term without renormalization; "
+            "raise --fadj_edge_mult or cap degrees with --pad_degree for "
+            "exact full neighborhoods.", stacklevel=2)
+
     indptr = np.zeros(n + 2, np.int32)
     indptr[:n + 1] = adj.indptr
     indptr[n + 1] = adj.indptr[-1]          # sentinel row N: empty

@@ -91,14 +91,19 @@ def subsample_edges(edges: np.ndarray, num_data: int, max_degree: int,
     return edges[keep]
 
 
-def cap_adj_degree(adj: sp.csr_matrix, max_degree: int,
-                   seed: int = 0) -> sp.csr_matrix:
+def cap_adj_degree(adj: sp.csr_matrix, max_degree: int, seed: int = 0,
+                   rescale: bool = True) -> sp.csr_matrix:
     """Cap each row of a CSR adjacency to at most ``max_degree`` entries.
 
     Per-row uniform subsample without replacement.  This is the load-time
-    analogue of the reference's ``--max_degree`` behaviour applied directly to
-    a normalized adjacency; the kept entries preserve their weights (the
-    sampled-estimator rescaling happens later in the sampler).
+    analogue of the reference's ``--max_degree``, which subsamples edges
+    BEFORE normalization so rows stay normalized (gcn/utils.py:261-263,
+    532-543).  Since this runs on an already-normalized adjacency, kept
+    entries of capped rows are rescaled by ``deg/max_degree`` so the row
+    mass is preserved in expectation-exact form (for ``graphsage`` D^-1 A
+    this is bit-equivalent to subsample-then-normalize; for ``gcn`` it
+    preserves row mass).  ``rescale=False`` keeps the raw subsampled
+    weights (the round-1 behaviour).
     """
     rng = np.random.default_rng(seed)
     indptr, indices, data = adj.indptr, adj.indices, adj.data
@@ -116,7 +121,10 @@ def cap_adj_degree(adj: sp.csr_matrix, max_degree: int,
         else:
             pick = rng.choice(deg, size=max_degree, replace=False)
             rows_i.append(indices[lo + pick])
-            rows_d.append(data[lo + pick])
+            d = data[lo + pick]
+            if rescale:
+                d = d * (deg / float(max_degree))
+            rows_d.append(d)
             new_indptr[r + 1] = new_indptr[r] + max_degree
     return sp.csr_matrix(
         (np.concatenate(rows_d), np.concatenate(rows_i), new_indptr),

@@ -95,9 +95,11 @@ class MLPTrainer:
 
         def loss_fn(params, x, y, valid, key, train):
             logits = mlp_forward(params, spec, x, key, kp, train)
+            # L2 covers only the first Dense 'weights' — the reference's
+            # Dense never registers offset/scale in .vars (gcn/models.py:69,
+            # gcn/layers.py:100-138), so layer-norm params are not decayed
             first = spec[0][0]
-            l2 = sum(jnp.sum(jnp.square(v)) / 2.0
-                     for v in params[first].values())
+            l2 = jnp.sum(jnp.square(params[first]["weights"])) / 2.0
             nv = jnp.maximum(jnp.sum(valid), 1.0)
             if mt:
                 ce = jnp.mean(jnp.maximum(logits, 0) - logits * y

@@ -77,14 +77,23 @@ class BatchFields:
 
 
 def field_capacities(batch_size: int, degrees: Sequence[int], num_nodes: int,
-                     pad_degree: int, importance: bool = False) -> list[int]:
-    """Static field capacities, input side first (index 0 = layer-0 field)."""
+                     pad_degree: int, importance: bool = False,
+                     round_multiple: int = 1) -> list[int]:
+    """Static field capacities, input side first (index 0 = layer-0 field).
+
+    ``round_multiple`` rounds every capacity up to a multiple (sentinel
+    padding makes this free) so field tensors tile evenly over a
+    ``round_multiple``-way mesh — otherwise the halo-exchange lowering in
+    models/aggregators.py silently falls back to GSPMD's all-gather path
+    whenever the ``min(f*k, num_nodes)`` clamp produces a non-dividing
+    capacity."""
+    m = max(1, int(round_multiple))
     caps = [batch_size]
     # walk top-down (reference expands degrees[L-1], ..., degrees[0])
     for degree in reversed(list(degrees)):
         k = degree if importance else min(degree, pad_degree)
         f = caps[-1]
-        caps.append(f + min(f * k, num_nodes))
+        caps.append(-(-(f + min(f * k, num_nodes)) // m) * m)
     caps.reverse()
     return caps
 
@@ -212,7 +221,8 @@ def compact_field(field_out: jax.Array, new_ids: jax.Array, num_nodes: int,
 
 def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
              degrees: Sequence[int], cv: bool, need_aw: bool = False,
-             importance: Optional[jax.Array] = None) -> BatchFields:
+             importance: Optional[jax.Array] = None,
+             round_multiple: int = 1) -> BatchFields:
     """Build the full receptive field for one minibatch.
 
     Equivalent of ``PyScheduler.batch`` (gcn/_scheduler.pyx:55-127): expands
@@ -226,7 +236,8 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
     degrees = list(degrees)
     num_layers = len(degrees)
     caps = field_capacities(batch_ids.shape[0], degrees, n, graph.pad_degree,
-                            importance=importance is not None)
+                            importance=importance is not None,
+                            round_multiple=round_multiple)
 
     fields = [batch_ids.astype(jnp.int32)]
     layer_samples = []

@@ -3,25 +3,34 @@
 The reference saves trainable vars + history Variables once at the end of
 training via tf.train.Saver (gcn/models.py:204-220, train.py:238) to
 ``tmp/model.ckpt``.  Here the whole train state (params, Adam state,
-per-layer histories, RNG key) round-trips through a single compressed npz of
-the flattened pytree — covering the reference's save/load plus optimizer
-state and sampler RNG, which the reference loses on resume.
+per-layer histories, RNG key) round-trips through a single compressed npz —
+covering the reference's save/load plus optimizer state and sampler RNG,
+which the reference loses on resume.
+
+Format: one npz entry per pytree leaf, keyed by the leaf's keypath string
+(``jax.tree_util.keystr``).  The tree STRUCTURE is never serialized — it is
+rebuilt from the caller's state template on load — so loading a corrupted or
+untrusted checkpoint can never execute code (no pickle anywhere).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import os
-import pickle
 
 import numpy as np
 
 import jax
 
+_LEAF_PREFIX = "leaf:"
+_AVG_PATH_PREFIX = "['state'].avg_params"
 
-def _flatten(state):
-    leaves, treedef = jax.tree_util.tree_flatten(state)
-    return leaves, treedef
+
+def _path_leaves(payload):
+    """[(keypath string, leaf)] in deterministic tree order."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(payload)
+    return [(jax.tree_util.keystr(path), leaf) for path, leaf in flat], \
+        treedef
 
 
 def save_checkpoint(ckpt_dir: str, state, eval_histories, key,
@@ -29,11 +38,10 @@ def save_checkpoint(ckpt_dir: str, state, eval_histories, key,
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"{name}.ckpt.npz")
     payload = {"state": state, "eval_histories": eval_histories, "key": key}
-    leaves, treedef = jax.tree_util.tree_flatten(payload)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    flat, _ = _path_leaves(payload)
+    arrays = {_LEAF_PREFIX + k: np.asarray(leaf) for k, leaf in flat}
     with open(path, "wb") as f:
-        np.savez_compressed(f, treedef=np.frombuffer(
-            pickle.dumps(treedef), dtype=np.uint8), **arrays)
+        np.savez_compressed(f, **arrays)
     print(f"Model saved in file: {path}")
     return path
 
@@ -43,30 +51,46 @@ def load_checkpoint(ckpt_dir: str, state_template, eval_hist_template,
                     name: str = "model"):
     path = os.path.join(ckpt_dir, f"{name}.ckpt.npz")
     z = np.load(path, allow_pickle=False)
-    treedef = pickle.loads(z["treedef"].tobytes())
-    n_leaves = len([k for k in z.files if k.startswith("leaf_")])
-    leaves = [z[f"leaf_{i}"] for i in range(n_leaves)]
+    stored = {k[len(_LEAF_PREFIX):]: k for k in z.files
+              if k.startswith(_LEAF_PREFIX)}
+
+    # Reconcile the Polyak average with the CURRENT run's polyak_decay
+    # BEFORE rebuilding the tree: a checkpoint saved without it must not
+    # clobber a resuming polyak run (re-seed the average from the restored
+    # weights below); conversely a saved average is dropped when the new
+    # run has polyak off (its leaves are simply never read).
+    ckpt_has_avg = any(k.startswith(_AVG_PATH_PREFIX) for k in stored)
+    tmpl_has_avg = getattr(state_template, "avg_params", None) is not None
+    seed_avg_from_params = tmpl_has_avg and not ckpt_has_avg
+    tmpl_state = state_template
+    if seed_avg_from_params:
+        tmpl_state = dataclasses.replace(tmpl_state, avg_params=None)
+
+    tmpl_payload = {"state": tmpl_state, "eval_histories": eval_hist_template,
+                    "key": key_template}
+    flat, treedef = _path_leaves(tmpl_payload)
+    leaves = []
+    for k, tmpl_leaf in flat:
+        if k not in stored:
+            raise KeyError(f"checkpoint {path} is missing leaf {k!r} "
+                           "(saved under different model settings?)")
+        arr = z[stored[k]]
+        tshape = tuple(np.shape(tmpl_leaf))
+        if tuple(arr.shape) != tshape:
+            raise ValueError(
+                f"checkpoint leaf {k!r} has shape {tuple(arr.shape)}, "
+                f"expected {tshape}")
+        leaves.append(arr)
     payload = jax.tree_util.tree_unflatten(treedef, leaves)
     state, eval_hist, key = (payload["state"], payload["eval_histories"],
                              payload["key"])
-    # Reconcile the Polyak average with the CURRENT run's polyak_decay:
-    # a checkpoint saved without it (avg_params=None) must not clobber a
-    # resuming polyak run (the step's EMA tree_map would crash on None) —
-    # re-seed the average from the restored weights; conversely drop a
-    # saved average when the new run has polyak off.
-    t_avg = getattr(state_template, "avg_params", None)
-    s_avg = getattr(state, "avg_params", None)
-    if t_avg is not None and s_avg is None:
+    if seed_avg_from_params:
         state = dataclasses.replace(
             state, avg_params=jax.tree_util.tree_map(np.array, state.params))
-    elif t_avg is None and s_avg is not None:
-        state = dataclasses.replace(state, avg_params=None)
     if not load_history:
         # keep the caller's (zero) histories, restore weights/opt only
-        state = type(state_template)(
-            params=state.params, opt_state=state.opt_state,
-            histories=state_template.histories, step=state.step,
-            avg_params=state.avg_params)
+        state = dataclasses.replace(
+            state, histories=state_template.histories)
         eval_hist = eval_hist_template
     print(f"Model restored from file: {path}")
     return state, eval_hist, key

@@ -123,7 +123,8 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
                                                               state.step))
         pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
                         need_aw=spec.det_dropout,
-                        importance=importance if use_importance else None)
+                        importance=importance if use_importance else None,
+                        round_multiple=cfg.dp)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = jnp.take(labels, batch_field, axis=0)
@@ -221,7 +222,8 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
         k_sched, k_drop = jax.random.split(key)
         pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
                         need_aw=spec.det_dropout,
-                        importance=importance if use_importance else None)
+                        importance=importance if use_importance else None,
+                        round_multiple=cfg.dp)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = jnp.take(labels, batch_field, axis=0)
@@ -280,7 +282,8 @@ def make_eval_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
         k_sched, k_drop = jax.random.split(key)
         pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
                         need_aw=spec.det_dropout,
-                        importance=importance if use_importance else None)
+                        importance=importance if use_importance else None,
+                        round_multiple=cfg.dp)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = jnp.take(labels, batch_field, axis=0)
@@ -312,7 +315,8 @@ def make_pred_and_grad(cfg: Config, spec: M.ModelSpec,
         k_sched, k_drop = jax.random.split(key)
         pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
                         need_aw=spec.det_dropout,
-                        importance=importance if use_importance else None)
+                        importance=importance if use_importance else None,
+                        round_multiple=cfg.dp)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = jnp.take(labels, batch_field, axis=0)

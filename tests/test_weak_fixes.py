@@ -1,0 +1,150 @@
+"""Round-2 hardening tests (VERDICT weak #6-8, ADVICE round 1).
+
+1. eval metrics are invariant to test_batch_size (partial-batch masking).
+2. CV gradient variance is STRICTLY below NS after history convergence —
+   the paper's core claim at the gradient level (reference gradvar
+   protocol, train.py:241-277).
+3. flat_csr warns when edge_cap_per_row truncates rows.
+4. cap_adj_degree preserves row mass (reference --max_degree subsamples
+   BEFORE normalization, gcn/utils.py:532-543).
+5. field_capacities rounds to the mesh multiple (halo lowering eligibility).
+6. checkpoints are data-only (no pickle anywhere in the npz).
+"""
+
+import warnings
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stochastic_gcn_tpu.config import Config
+from stochastic_gcn_tpu.data import preprocess as P
+from stochastic_gcn_tpu.data.graph import flat_csr
+from stochastic_gcn_tpu.data.loaders import synthetic_dataset
+from stochastic_gcn_tpu.sampler.scheduler import field_capacities
+from stochastic_gcn_tpu.training.loop import Trainer
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return synthetic_dataset(num_nodes=80, feature_dim=16, num_classes=4,
+                             avg_degree=5, seed=0)
+
+
+@pytest.mark.parametrize("cv", [False, True])
+def test_eval_invariant_to_test_batch_size(ds, cv):
+    """evaluate() must give identical metrics at any test_batch_size,
+    including when the last batch is partial and sentinel-padded.  Exact
+    sampling (degree > max deg) removes sampling noise; CV with exact
+    sampling is history-independent (delta + full term cancel), so the
+    only way results could differ is broken partial-batch masking."""
+    max_deg = int(np.diff(ds.full_adj.indptr).max())
+    out = []
+    val = ds.val_d[:19]  # not divisible by either batch size
+    for tbs in (7, 16):
+        cfg = Config(dataset="synthetic", batch_size=32, hidden1=16,
+                     dropout=0.0, seed=1, degree=max_deg + 1,
+                     test_degree=max_deg + 1, cv=cv, test_cv=cv,
+                     test_batch_size=tbs)
+        tr = Trainer(cfg, ds)
+        with jax.default_matmul_precision("float32"):
+            loss, acc, micro, macro, _ = tr.evaluate(val)
+        out.append((loss, acc, micro, macro))
+    np.testing.assert_allclose(out[0], out[1], rtol=1e-5, atol=1e-6)
+
+
+def test_cv_grad_variance_strictly_below_ns_after_convergence(ds):
+    """After the CV history has converged to the activations of a FIXED
+    set of weights, CV first-layer gradient stdev must be STRICTLY below
+    NS's at those same weights (reference protocol train.py:241-277; the
+    round-1 test only bounded it at 1.5x).  Measuring both estimators at
+    identical params is what the reference's --gradvar --load flow does —
+    independent trainings end at different weights, making stdevs
+    incomparable."""
+    import dataclasses
+    kw = dict(dataset="synthetic", batch_size=32, hidden1=16, dropout=0.0,
+              seed=1, degree=1, test_degree=20)
+    tr_cv = Trainer(Config(cv=True, learning_rate=1e-3, **kw), ds)
+    for _ in range(5):
+        tr_cv.train_epoch()
+    # freeze the weights (lr=0) and let the history converge to them:
+    # train_epoch still refreshes history after the (no-op) update
+    tr_frozen = Trainer(Config(cv=True, learning_rate=0.0, **kw), ds)
+    tr_frozen.state = tr_cv.state
+    for _ in range(3):
+        tr_frozen.train_epoch()
+    tr_ns = Trainer(Config(learning_rate=0.0, **kw), ds)
+    tr_ns.state = dataclasses.replace(tr_ns.state,
+                                      params=tr_frozen.state.params)
+    r_cv = tr_frozen.gradient_variance(times=80, log=lambda *a: None)
+    r_ns = tr_ns.gradient_variance(times=80, log=lambda *a: None)
+    assert r_cv["grad_stdev"] < r_ns["grad_stdev"], (r_cv, r_ns)
+    assert r_cv["pred_stdev"] < r_ns["pred_stdev"], (r_cv, r_ns)
+
+
+def test_flat_csr_truncation_warning():
+    import scipy.sparse as sp
+    # star graph: hub row degree 40, everyone else degree 1
+    n = 41
+    rows = np.concatenate([np.zeros(40, np.int32), np.arange(1, 41)])
+    cols = np.concatenate([np.arange(1, 41), np.zeros(40, np.int32)])
+    adj = sp.csr_matrix((np.ones(80, np.float32), (rows, cols)),
+                        shape=(n, n))
+    with pytest.warns(UserWarning, match="truncates"):
+        g = flat_csr(adj, edge_mult=2.0)
+    assert g.edge_cap_per_row < 40
+    # no warning when the budget covers every row
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        flat_csr(adj, edge_mult=100.0)
+
+
+def test_cap_adj_degree_preserves_row_mass():
+    import scipy.sparse as sp
+    rng = np.random.default_rng(0)
+    a = (sp.random(30, 30, density=0.4, format="csr",
+                   dtype=np.float32, random_state=1) > 0).astype(np.float32)
+    norm = P.graphsage_normalize_adj(a)
+    capped = P.cap_adj_degree(norm, 3, seed=0)
+    sums = np.asarray(capped.sum(1)).ravel()
+    orig = np.asarray(norm.sum(1)).ravel()
+    np.testing.assert_allclose(sums, orig, rtol=1e-5)
+    # rescale=False keeps the raw subsampled weights (round-1 behaviour)
+    raw = P.cap_adj_degree(norm, 3, seed=0, rescale=False)
+    deg = np.diff(norm.indptr)
+    assert (np.asarray(raw.sum(1)).ravel()[deg > 3]
+            < orig[deg > 3] - 1e-6).all()
+
+
+def test_field_capacities_round_multiple():
+    caps = field_capacities(96, [2, 2], num_nodes=1000, pad_degree=30,
+                            round_multiple=8)
+    assert all(c % 8 == 0 for c in caps)
+    # monotone growth and batch preserved
+    assert caps[-1] == 96
+    plain = field_capacities(96, [2, 2], num_nodes=1000, pad_degree=30)
+    assert all(r >= p for r, p in zip(caps, plain))
+
+
+def test_checkpoint_is_pickle_free(tmp_path, ds):
+    cfg = Config(dataset="synthetic", batch_size=64, degree=1, test_degree=1,
+                 cv=True, test_cv=True, hidden1=16, seed=1,
+                 ckpt_dir=str(tmp_path))
+    tr = Trainer(cfg, ds)
+    tr.train_epoch()
+    tr.save()
+    path = tmp_path / "model.ckpt.npz"
+    z = np.load(path, allow_pickle=False)   # raises if any pickled entry
+    for k in z.files:
+        assert z[k].dtype != object
+    # polyak reconciliation: a non-polyak checkpoint resumes a polyak run
+    cfg2 = cfg.replace(polyak_decay=0.99)
+    tr2 = Trainer(cfg2, ds)
+    tr2.load(load_history=True)
+    a = jax.tree_util.tree_leaves(tr2.state.avg_params)
+    b = jax.tree_util.tree_leaves(tr2.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    tr2.train_epoch()
