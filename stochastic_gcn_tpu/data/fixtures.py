@@ -151,8 +151,13 @@ def write_planetoid_fixture(data_dir: str, spec: PlanetoidSpec) -> int:
     test_idx = chosen.copy()
     rng.shuffle(test_idx)
 
-    tx = feats[np.sort(chosen)]
-    ty = onehot[np.sort(chosen)]
+    # tx/ty rows follow test.index FILE order: tx[i] holds the features of
+    # node test_idx[i].  (The reference's reorder fix — utils.py:78-83 —
+    # permutes vstack(allx, tx) so node test_idx_reorder[i] receives row
+    # tx[i]; sorted-order rows would scramble test nodes' features/labels
+    # relative to the graph.)
+    tx = feats[test_idx]
+    ty = onehot[test_idx]
     x = feats[:spec.num_train]
     y = onehot[:spec.num_train]
     allx = feats[:n_all]
