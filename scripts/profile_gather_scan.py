@@ -1,0 +1,92 @@
+"""Correct full-neighborhood-contraction microbench (axon-safe).
+
+Methodology note (round 2): on the tunneled axon runtime,
+``jax.block_until_ready`` does NOT wait for device execution — standalone
+per-dispatch timing measures the ENQUEUE rate, not the compute (numbers
+like "128 MB gathered in 25 us" = 3 TB/s came out of the naive loop).
+Only a device->host VALUE FETCH synchronizes.  So: run the op S times
+inside one jitted ``lax.scan`` (iteration-dependent indices so nothing can
+be hoisted, a carried checksum so nothing can be elided) and fetch ONE
+scalar; ms = wall / S.  This mirrors how the op runs in production (the
+whole epoch is one scan).
+"""
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import functools
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def scan_time(make_body, steps=200):
+    """make_body() -> (body(carry, xs), xs_array).  Returns ms/step."""
+    body, xs = make_body()
+
+    @jax.jit
+    def run(xs):
+        c, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), xs)
+        return c
+
+    c = run(xs)
+    _ = float(c)                      # sync (compile + first exec)
+    t0 = time.time()
+    c = run(xs)
+    _ = float(c)
+    return (time.time() - t0) / steps * 1e3
+
+
+def bench(n, d, k, f, dtype, variant, chunk=None, steps=200):
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(n + 1, d)), dtype=dtype)
+    idx0 = jnp.asarray(rng.integers(0, n - steps, size=(f, k), dtype=np.int32))
+    w = jnp.asarray(rng.random((f, k)).astype(np.float32) / k)
+
+    def contract(idx):
+        if variant == "einsum":
+            return jnp.einsum("fk,fkd->fd", w, jnp.take(table, idx, axis=0))
+        if variant == "f32acc":
+            rows = jnp.take(table, idx, axis=0).astype(jnp.float32)
+            return jnp.einsum("fk,fkd->fd", w, rows)
+        raise ValueError(variant)
+
+    def make_body():
+        def body(carry, off):
+            idx = idx0 + off          # iteration-dependent: no hoisting
+            if chunk is None:
+                out = contract(idx)
+            else:
+                idx_c = idx.reshape(f // chunk, chunk, k)
+                out = jax.lax.map(contract, idx_c).reshape(f, d)
+            return carry + jnp.sum(out), ()
+        return body, jnp.arange(steps, dtype=jnp.int32)
+
+    return scan_time(make_body, steps)
+
+
+def main():
+    n, d, k = 233_000, 128, 64
+    log(f"devices={jax.devices()}  N={n} d={d} K={k}; scan-of-200 timing")
+    for f in (512, 4096):
+        for tag, dt in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
+            ms = bench(n, d, k, f, dt, "einsum")
+            gb = f * k * d * jnp.dtype(dt).itemsize / 1e9
+            log(f"  F={f:<5d} [{tag}] einsum        {ms:7.3f} ms "
+                f"({gb / (ms / 1e3):6.1f} GB/s)")
+            for chunk in (512, 1024):
+                if chunk >= f:
+                    continue
+                ms = bench(n, d, k, f, dt, "einsum", chunk=chunk)
+                log(f"  F={f:<5d} [{tag}] chunk={chunk:<5d}   {ms:7.3f} ms "
+                    f"({gb / (ms / 1e3):6.1f} GB/s)")
+            if tag == "bf16":
+                ms = bench(n, d, k, f, dt, "f32acc")
+                log(f"  F={f:<5d} [{tag}] f32acc        {ms:7.3f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,21 @@ class Config:
     # all-reduce of the [F, Dcap, d] gather result — Dcap x less ICI
     # traffic.  Disable to fall back to pure GSPMD lowering.
     halo_exchange: bool = True
+    # With --dp > 1 (and the padded graph format): shard the [N, Dcap]
+    # graph rows, node features and labels along the node dimension too —
+    # per-chip HBM then scales as N/P for EVERY O(N) table, with row
+    # accesses routed from owner chips (parallel/halo.py).  Small [N]
+    # vectors (degrees, CSR indptr, importance) stay replicated by design;
+    # edgelist-format graphs stay replicated (already O(E)-compact).
+    shard_graph: bool = True
+    # Per-destination capacity multiplier for the owner-routed history
+    # scatter: capacity = max(8, ceil(scatter_cap_mult * C/P / P)) rows per
+    # (source, destination) chip pair (clamped to C/P, which guarantees
+    # zero drops).  Updates beyond capacity are dropped — the affected
+    # history rows stay one step staler, which the CV estimator tolerates
+    # by construction — and counted in the hist_dropped metric.  >= dp
+    # forces exactness for any skew.
+    scatter_cap_mult: float = 2.0
     # Use the Pallas streaming-gather kernel for the CV full-neighborhood
     # term: true-f32 accumulation (XLA's default-precision einsum reduces
     # in bf16 passes) at ~3x the op time. Off by default for speed.

@@ -44,14 +44,18 @@ class PaddedGraph:
       nbr:  [N+1, Dcap] int32 neighbor ids; empty slots hold N (sentinel).
       w:    [N+1, Dcap] float32 normalized edge weights; empty slots hold 0.
       deg:  [N+1] int32 true (possibly capped) out-degree per row; deg[N]=0.
+      n_real: static node count when the row tables carry extra zero
+        padding rows (so they tile over a device mesh); -1 = rows are
+        exactly N+1 and N is derived from the shape.
     """
     nbr: jax.Array
     w: jax.Array
     deg: jax.Array
+    n_real: int = dataclasses.field(default=-1, metadata=dict(static=True))
 
     @property
     def num_nodes(self) -> int:
-        return self.nbr.shape[0] - 1
+        return self.n_real if self.n_real >= 0 else self.nbr.shape[0] - 1
 
     @property
     def pad_degree(self) -> int:
@@ -231,15 +235,63 @@ def flat_row_windows(graph: "FlatGraph", field: jax.Array, width: int):
     return rows_nbr, rows_w, deg
 
 
-def graph_rows(graph, field: jax.Array):
+def graph_rows(graph, field: jax.Array, mesh=None):
     """Materialize the [F, Dcap] neighbor/weight row windows for a field —
     the single dispatch point between the two graph formats.  Empty slots
-    hold the sentinel id N / weight 0 in both."""
+    hold the sentinel id N / weight 0 in both.
+
+    With a mesh and a node-sharded :class:`PaddedGraph` (nbr/w rows
+    distributed over chips, parallel/halo.py), the nbr+w rows are fetched
+    from their owner chips in one fused exchange; ``deg`` is a small [N]
+    int vector kept replicated by design, so its gather stays local.
+    :class:`FlatGraph` is always replicated (its storage is already O(E))."""
     if isinstance(graph, FlatGraph):
         return flat_row_windows(graph, field, graph.pad_degree)
-    return (jnp.take(graph.nbr, field, axis=0),
-            jnp.take(graph.w, field, axis=0),
-            jnp.take(graph.deg, field, axis=0))
+    from ..parallel.halo import halo_tiles, row_gather2
+    if halo_tiles(graph.nbr, field, mesh):
+        rows_nbr, rows_w = row_gather2(graph.nbr, graph.w, field, mesh)
+    else:
+        rows_nbr = jnp.take(graph.nbr, field, axis=0)
+        rows_w = jnp.take(graph.w, field, axis=0)
+    return rows_nbr, rows_w, jnp.take(graph.deg, field, axis=0)
+
+
+def pad_table_rows(x: jax.Array, multiple: int) -> jax.Array:
+    """Zero-pad a node-row table ([R, ...] or [R]) so R divides
+    ``multiple`` — required for row-sharding over a mesh.  Padding rows are
+    all-zero and never addressed (node ids <= N < R)."""
+    r = x.shape[0]
+    target = -(-r // multiple) * multiple
+    if target == r:
+        return x
+    pad = [(0, target - r)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)
+
+
+def pad_features_rows(features, multiple: int):
+    """Row-pad a feature table (dense array or PaddedSparseFeatures) for
+    mesh sharding.  Sparse padding rows get sentinel column ids (= dim)
+    with zero values; no padding row is ever addressed (node ids <= N)."""
+    if isinstance(features, PaddedSparseFeatures):
+        idx = pad_table_rows(features.idx, multiple)
+        extra = idx.shape[0] - features.idx.shape[0]
+        if extra:
+            idx = idx.at[-extra:].set(features.dim)
+        return PaddedSparseFeatures(idx=idx,
+                                    val=pad_table_rows(features.val,
+                                                       multiple),
+                                    dim=features.dim)
+    return pad_table_rows(features, multiple)
+
+
+def pad_graph_rows(graph: PaddedGraph, multiple: int) -> PaddedGraph:
+    """Row-pad a PaddedGraph's node tables for mesh sharding, pinning the
+    true node count in the static ``n_real`` field."""
+    n = graph.num_nodes
+    return PaddedGraph(nbr=pad_table_rows(graph.nbr, multiple),
+                       w=pad_table_rows(graph.w, multiple),
+                       deg=pad_table_rows(graph.deg, multiple),
+                       n_real=n)
 
 
 def dense_rows(x, num_nodes: Optional[int] = None,

@@ -20,7 +20,10 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..data.graph import FlatGraph, PaddedGraph
+from ..data.graph import FlatGraph, PaddedGraph, graph_rows
+from ..parallel.halo import halo_tiles as _halo_tiles
+from ..parallel.halo import owner_routed as _owner_routed
+from ..parallel.halo import row_gather
 from ..sampler.scheduler import LayerSample
 
 
@@ -33,50 +36,6 @@ def fanout_gather(x: jax.Array, slot_pos: jax.Array,
     """
     g = jnp.take(x, slot_pos, axis=0)          # [F, k, d]
     return jnp.einsum("fk,fkd->fd", slot_w, g)
-
-
-def _halo_tiles(hist: jax.Array, ids: jax.Array, mesh) -> bool:
-    """True when the owner-routed halo lowering applies: >1 device and the
-    leading dims tile evenly over the mesh axis."""
-    return (mesh is not None and mesh.devices.size > 1
-            and ids.shape[0] % mesh.devices.size == 0
-            and hist.shape[0] % mesh.devices.size == 0)
-
-
-def _owner_routed(hist: jax.Array, ids: jax.Array, extras, partial_fn, mesh):
-    """Owner-routed history access over a row-sharded [N, d] ``hist``.
-
-    Shared halo-exchange skeleton (SURVEY.md §5.8): all chips all-gather
-    the (small, integer) request tensors, each chip serves the rows it
-    owns (masked local gather), ``partial_fn(rows, mine, *extras) ->
-    [P, F/P, d]`` reduces them chip-side, and one ``psum_scatter`` hands
-    every chip its own shard of the summed result — so ICI traffic scales
-    with the request count, never with N, unlike GSPMD's default lowering
-    which all-gathers the whole history.
-    """
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    axis = mesh.axis_names[0]
-    p = mesh.shape[axis]
-    n_loc = hist.shape[0] // p
-
-    def body(h_loc, ids_loc, *ex_loc):
-        ids_all = jax.lax.all_gather(ids_loc, axis)      # [P, F/P, ...]
-        ex_all = [jax.lax.all_gather(e, axis) for e in ex_loc]
-        lo = jax.lax.axis_index(axis) * n_loc
-        loc = ids_all - lo
-        mine = (loc >= 0) & (loc < n_loc)
-        rows = jnp.take(h_loc, jnp.clip(loc, 0, n_loc - 1), axis=0)
-        part = partial_fn(rows, mine, *ex_all)
-        # sum partials across chips, keeping only this chip's shard
-        return jax.lax.psum_scatter(part, axis, scatter_dimension=0,
-                                    tiled=False)
-
-    id_spec = P(axis) if ids.ndim == 1 else P(axis, None)
-    specs = (P(axis, None), id_spec) + tuple(P(axis, None) for _ in extras)
-    return shard_map(body, mesh=mesh, in_specs=specs,
-                     out_specs=P(axis, None))(hist, ids, *extras)
 
 
 def full_neighborhood_mean_halo(hist: jax.Array, fnbr: jax.Array,
@@ -92,17 +51,9 @@ def full_neighborhood_mean_halo(hist: jax.Array, fnbr: jax.Array,
 
 
 def history_gather(hist: jax.Array, ids: jax.Array, mesh=None) -> jax.Array:
-    """``h̄[ids]`` ([C, d]) from a possibly row-sharded history.
-
-    With a mesh, routes each row from its owner chip explicitly — half the
-    ICI bytes of GSPMD's default all-reduce lowering.  Falls back to a
-    plain gather when unsharded or the shapes don't tile."""
-    if not _halo_tiles(hist, ids, mesh):
-        return jnp.take(hist, ids, axis=0)
-
-    def mask_rows(rows, mine):
-        return jnp.where(mine[..., None], rows, 0).astype(jnp.float32)
-    return _owner_routed(hist, ids, (), mask_rows, mesh)
+    """``h̄[ids]`` ([C, d]) from a possibly row-sharded history: routed from
+    owner chips when sharded (parallel/halo.py), plain gather otherwise."""
+    return row_gather(hist, ids, mesh)
 
 
 def full_neighborhood_mean(hist: jax.Array, graph: PaddedGraph,
@@ -125,8 +76,10 @@ def full_neighborhood_mean(hist: jax.Array, graph: PaddedGraph,
     if isinstance(graph, FlatGraph):
         return full_neighborhood_mean_edgelist(hist, graph, field_out,
                                                square=square, mesh=mesh)
-    fnbr = jnp.take(graph.nbr, field_out, axis=0)     # [F, Dcap]
-    fw = jnp.take(graph.w, field_out, axis=0)
+    # mesh-aware: with a node-sharded graph the [F, Dcap] rows come from
+    # their owner chips (one fused exchange); replicated graphs gather
+    # locally as before
+    fnbr, fw, _ = graph_rows(graph, field_out, mesh)
     if square:
         fw = jnp.square(fw)
     if _halo_tiles(hist, field_out, mesh):

@@ -238,14 +238,20 @@ def init_histories(spec: ModelSpec, num_nodes: int, row_multiple: int = 8,
 
 # ----------------------------- forward ------------------------------------
 
-def _slice_inputs(features, field0: jax.Array):
+def _slice_inputs(features, field0: jax.Array, mesh=None):
     """Gather the layer-0 field's feature rows (the functional form of the
-    reference's host-side slice/dense_slice, gcn/vrgcn.py:39-47)."""
+    reference's host-side slice/dense_slice, gcn/vrgcn.py:39-47).
+
+    With a mesh and node-sharded features the rows come from their owner
+    chips (parallel/halo.py) instead of GSPMD's whole-table all-gather."""
+    from ..parallel.halo import halo_tiles, row_gather, row_gather2
     if isinstance(features, PaddedSparseFeatures):
-        return PaddedSparseFeatures(idx=features.idx[field0],
-                                    val=features.val[field0],
-                                    dim=features.dim)
-    return jnp.take(features, field0, axis=0)
+        if halo_tiles(features.idx, field0, mesh):
+            idx, val = row_gather2(features.idx, features.val, field0, mesh)
+        else:
+            idx, val = features.idx[field0], features.val[field0]
+        return PaddedSparseFeatures(idx=idx, val=val, dim=features.dim)
+    return row_gather(features, field0, mesh)
 
 
 def forward(params: dict, spec: ModelSpec, pack: BatchFields,
@@ -258,7 +264,7 @@ def forward(params: dict, spec: ModelSpec, pack: BatchFields,
     the history buffers at those node ids after the optimizer step.
     """
     kp = keep_prob if train else 1.0
-    h = _slice_inputs(features, pack.fields[0])
+    h = _slice_inputs(features, pack.fields[0], mesh)
     if spec.reverse_input_dropout and train:
         # --reverse applies dropout directly to the sliced input features
         # (reference does this host-side: gcn/plaingcn.py:30-38)

@@ -1,0 +1,192 @@
+"""Owner-routed (halo-exchange) access to row-sharded node tables.
+
+The multi-chip layout shards every O(N)-row table — history buffers, the
+padded adjacency's [N, Dcap] neighbor/weight arrays, features, labels —
+along the node dimension over the ``('data',)`` mesh axis, so per-chip HBM
+scales as N/P (SURVEY.md §2.3 "partition nodes/edges across hosts"; the
+reference is single-GPU with everything replicated in one process,
+gcn/utils.py:164-165).
+
+Row accesses by global node id then need communication.  GSPMD's default
+lowering ALL-GATHERS the whole table per access (O(N·d) ICI bytes per
+step); every helper here instead routes rows explicitly from their owner
+chips so ICI traffic scales with the *request* count (the receptive-field
+size), never with N:
+
+* gathers — all chips all-gather the (small, integer) request ids, each
+  chip serves the rows it owns via a masked local gather, and one
+  ``psum_scatter`` returns each chip its shard of the result.
+* scatters — each chip sorts its update rows by owner chip and sends them
+  point-to-point over ICI (``all_to_all``), ~P× fewer bytes than the
+  all-gather-then-mask lowering.  The per-destination capacity is bounded
+  statically; overflowing rows are counted and *dropped*, which for the CV
+  history buffers is principled: a dropped update leaves a one-step-staler
+  history row, and staleness tolerance is the control-variate estimator's
+  defining property (the paper's whole point).  The drop count is surfaced
+  in the step metrics; capacity defaults leave it at zero for shuffled
+  batches (see ``row_scatter``).
+
+All helpers fall back to plain gathers/scatters (GSPMD handles layout)
+when no mesh is given or the shapes do not tile evenly over it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+
+def halo_tiles(table: jax.Array, ids: jax.Array, mesh) -> bool:
+    """True when the owner-routed lowering applies: >1 device and both the
+    table rows and the request count tile evenly over the mesh axis."""
+    return (mesh is not None and mesh.devices.size > 1
+            and ids.shape[0] % mesh.devices.size == 0
+            and table.shape[0] % mesh.devices.size == 0)
+
+
+def owner_routed(table: jax.Array, ids: jax.Array, extras, partial_fn, mesh):
+    """Shared gather-side halo skeleton over a row-sharded ``table``.
+
+    All chips all-gather the request tensors, each chip computes
+    ``partial_fn(rows, mine, *extras) -> [P, F/P, ...]`` over the rows it
+    owns (non-owned rows are garbage and must be masked via ``mine``), and
+    one ``psum_scatter`` sums the partials while handing every chip its own
+    shard — ICI payload ≈ the result size, independent of N.
+    """
+    axis = mesh.axis_names[0]
+    p = mesh.shape[axis]
+    n_loc = table.shape[0] // p
+
+    def body(t_loc, ids_loc, *ex_loc):
+        ids_all = jax.lax.all_gather(ids_loc, axis)      # [P, F/P, ...]
+        ex_all = [jax.lax.all_gather(e, axis) for e in ex_loc]
+        lo = jax.lax.axis_index(axis) * n_loc
+        loc = ids_all - lo
+        mine = (loc >= 0) & (loc < n_loc)
+        rows = jnp.take(t_loc, jnp.clip(loc, 0, n_loc - 1), axis=0)
+        part = partial_fn(rows, mine, *ex_all)
+        return jax.lax.psum_scatter(part, axis, scatter_dimension=0,
+                                    tiled=False)
+
+    id_spec = P(axis) if ids.ndim == 1 else P(axis, None)
+    specs = (P(axis, None), id_spec) + tuple(P(axis, None) for _ in extras)
+    return shard_map(body, mesh=mesh, in_specs=specs,
+                     out_specs=P(axis, None))(table, ids, *extras)
+
+
+def row_gather(table: jax.Array, ids: jax.Array, mesh=None) -> jax.Array:
+    """``table[ids]`` from a row-sharded table, dtype preserved.
+
+    Non-float tables ride the psum in float32 (node counts < 2^24 make
+    int32 ids exactly representable); exactly one chip contributes each
+    row, so the sum is the row itself."""
+    if not halo_tiles(table, ids, mesh):
+        return jnp.take(table, ids, axis=0)
+
+    dt = table.dtype
+
+    def mask_rows(rows, mine, *_):
+        m = mine.reshape(mine.shape + (1,) * (rows.ndim - mine.ndim))
+        return jnp.where(m, rows, 0).astype(jnp.float32)
+
+    out = owner_routed(table, ids, (), mask_rows, mesh)
+    return out.astype(dt) if dt != jnp.float32 else out
+
+
+def row_gather2(table_i: jax.Array, table_f: jax.Array, ids: jax.Array,
+                mesh=None):
+    """Gather the same rows from an int32 table and a float32 table of
+    identical shape (e.g. a PaddedGraph's ``nbr``/``w``, or sparse-feature
+    ``idx``/``val``) in ONE exchange: the pair rides a single stacked
+    psum_scatter, halving the collective rounds of two separate gathers."""
+    if not halo_tiles(table_i, ids, mesh):
+        return (jnp.take(table_i, ids, axis=0),
+                jnp.take(table_f, ids, axis=0))
+
+    stacked = jnp.stack(
+        [table_i.astype(jnp.float32), table_f.astype(jnp.float32)], axis=1)
+
+    def mask_rows(rows, mine, *_):
+        # rows [P, F/P, 2, k]
+        m = mine.reshape(mine.shape + (1,) * (rows.ndim - mine.ndim))
+        return jnp.where(m, rows, 0.0)
+
+    out = owner_routed(stacked, ids, (), mask_rows, mesh)  # [F, 2, k]
+    return out[:, 0].astype(table_i.dtype), out[:, 1]
+
+
+def scatter_capacity(c: int, p: int, cap_mult: float) -> int:
+    """Static per-destination row budget for :func:`row_scatter`.
+
+    Each chip holds C/P update rows whose owners are ~uniform over P chips
+    for shuffled batches (expected C/P² per destination, binomial std
+    sqrt(C/P²)); ``cap_mult`` ≥ 2 leaves many standard deviations of slack.
+    ``cap_mult >= p`` (or the C/P clamp) guarantees zero drops for any
+    skew."""
+    c_loc = c // p
+    return int(min(c_loc, max(8, -(-int(cap_mult * c_loc) // p))))
+
+
+def row_scatter(table: jax.Array, ids: jax.Array, rows: jax.Array,
+                mesh=None, cap_mult: float = 2.0):
+    """``table.at[ids].set(rows)`` onto a row-sharded table, owner-routed.
+
+    Returns ``(table', dropped)`` where ``dropped`` counts update rows that
+    exceeded the static per-destination capacity (see
+    :func:`scatter_capacity`) and were not applied — those history rows
+    simply stay one step staler, which the CV estimator tolerates by
+    construction.  ``ids`` must be unique among real (non-sentinel) rows,
+    as the scheduler's field compaction guarantees.
+
+    Fast path: sort local updates by owner chip, point-to-point
+    ``all_to_all`` of [P, cap, d] buckets, local masked scatter — per-chip
+    ICI bytes ≈ C·d·cap_mult/P vs the C·d of GSPMD's all-gather lowering.
+    """
+    if not halo_tiles(table, ids, mesh) or ids.shape[0] < mesh.devices.size:
+        return (table.at[ids].set(rows.astype(table.dtype)),
+                jnp.zeros((), jnp.int32))
+
+    axis = mesh.axis_names[0]
+    p = mesh.shape[axis]
+    r_tot = table.shape[0]
+    n_loc = r_tot // p
+    c_loc = ids.shape[0] // p
+    cap = scatter_capacity(ids.shape[0], p, cap_mult)
+    d = rows.shape[-1]
+
+    def body(t_loc, ids_loc, rows_loc):
+        safe = jnp.minimum(ids_loc.astype(jnp.int32), r_tot - 1)
+        owner = safe // n_loc
+        order = jnp.argsort(owner)
+        sids = jnp.take(safe, order)
+        srows = jnp.take(rows_loc, order, axis=0)
+        so = jnp.take(owner, order)
+        dests = jnp.arange(p, dtype=so.dtype)
+        starts = jnp.searchsorted(so, dests, side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(so, dests, side="right").astype(jnp.int32)
+        slot = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+        valid = slot < ends[:, None]                       # [p, cap]
+        gidx = jnp.minimum(slot, c_loc - 1).reshape(-1)
+        send_rows = jnp.take(srows, gidx, axis=0).reshape(p, cap, d)
+        send_ids = jnp.where(valid,
+                             jnp.take(sids, gidx).reshape(p, cap), r_tot)
+        dropped = jax.lax.psum(
+            jnp.sum(jnp.maximum(ends - starts - cap, 0)), axis)
+
+        recv_rows = jax.lax.all_to_all(send_rows, axis, 0, 0, tiled=True)
+        recv_ids = jax.lax.all_to_all(send_ids, axis, 0, 0, tiled=True)
+        loc = recv_ids.reshape(-1) - jax.lax.axis_index(axis) * n_loc
+        tgt = jnp.where((loc >= 0) & (loc < n_loc), loc, n_loc)
+        t_loc = t_loc.at[tgt].set(
+            recv_rows.reshape(-1, d).astype(t_loc.dtype), mode="drop")
+        return t_loc, dropped
+
+    out, dropped = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis, None)),
+        out_specs=(P(axis, None), P()))(table, ids, rows)
+    return out, dropped

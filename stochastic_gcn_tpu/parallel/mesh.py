@@ -48,6 +48,29 @@ def row_sharded(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name, None))
 
 
+def data_shardings(mesh: Mesh, data, shard_graph: bool):
+    """Sharding pytree for the per-call data arguments (graph, features,
+    labels).  With ``shard_graph`` every table whose row count tiles over
+    the mesh is sharded along the node dimension — [N, Dcap] graph rows,
+    [N, d] features (dense or PaddedSparseFeatures idx/val), [N, C] labels
+    — so per-chip HBM scales as N/P for every O(N) table; row accesses are
+    owner-routed (parallel/halo.py).  Small [N] vectors (degrees, CSR
+    indptr) and edgelist-format edge arrays are 1-D and stay replicated by
+    design."""
+    import jax.tree_util as jtu
+
+    repl = replicated(mesh)
+    if not shard_graph:
+        return jtu.tree_map(lambda _: repl, data)
+    p = mesh.devices.size
+    rs = row_sharded(mesh)
+
+    def rule(x):
+        return rs if (getattr(x, "ndim", 0) >= 2
+                      and x.shape[0] % p == 0) else repl
+    return jtu.tree_map(rule, data)
+
+
 def state_shardings(mesh: Mesh, state, shard_history: bool):
     """Sharding pytree matching a TrainState: params/opt replicated,
     histories optionally row-sharded along the node dimension."""
@@ -68,7 +91,9 @@ def state_shardings(mesh: Mesh, state, shard_history: bool):
 def make_sharded_train_step(cfg, spec, degrees: Tuple[int, ...],
                             num_nodes: int, mesh: Mesh,
                             state_template=None,
-                            shard_history: bool = False):
+                            shard_history: bool = False,
+                            data_template=None,
+                            shard_graph: bool = False):
     """Data-parallel version of :func:`training.step.make_train_step`.
 
     Sharding layout:
@@ -78,23 +103,31 @@ def make_sharded_train_step(cfg, spec, degrees: Tuple[int, ...],
         (each chip owns N/P history rows — the memory-scaling layout from
         SURVEY.md §5.8); ``cfg.halo_exchange`` selects the explicit
         halo-exchange lowering for the history gathers.
-      graph/features/labels/importance — replicated.
+      graph/features/labels — replicated by default; with ``shard_graph``
+        (and ``data_template=(graph, features, labels)`` row-padded via
+        data/graph.py::pad_graph_rows) their node-row tables are sharded
+        along N too (see :func:`data_shardings`).
       batch_ids — sharded along the 'data' axis.
     """
     from ..training.step import build_train_step
 
     repl = replicated(mesh)
     shard = batch_sharded(mesh)
-    halo = mesh if (shard_history and cfg.halo_exchange) else None
+    halo = mesh if (cfg.halo_exchange and (shard_history or shard_graph)) \
+        else None
     inner = build_train_step(cfg, spec, degrees, num_nodes, mesh=halo)
 
     if state_template is not None:
         st_sh = state_shardings(mesh, state_template, shard_history)
     else:
         st_sh = repl
+    if data_template is not None:
+        g_sh, f_sh, l_sh = data_shardings(mesh, data_template, shard_graph)
+    else:
+        g_sh = f_sh = l_sh = repl
     return jax.jit(
         inner,
-        in_shardings=(st_sh, repl, repl, repl, repl, shard, repl),
+        in_shardings=(st_sh, g_sh, f_sh, l_sh, repl, shard, repl),
         out_shardings=(st_sh, repl),
         donate_argnums=(0,),
     )
@@ -102,7 +135,9 @@ def make_sharded_train_step(cfg, spec, degrees: Tuple[int, ...],
 
 def make_sharded_train_epoch(cfg, spec, degrees: Tuple[int, ...],
                              num_nodes: int, mesh: Mesh, state_template,
-                             shard_history: bool = False):
+                             shard_history: bool = False,
+                             data_template=None,
+                             shard_graph: bool = False):
     """Sharded whole-epoch scan (see training/step.py::make_train_epoch):
     the [S, B] batch matrix is sharded along B over the 'data' axis."""
     from ..training.step import build_train_epoch
@@ -110,12 +145,17 @@ def make_sharded_train_epoch(cfg, spec, degrees: Tuple[int, ...],
     repl = replicated(mesh)
     bm_sh = NamedSharding(mesh, P(None, "data"))
     st_sh = state_shardings(mesh, state_template, shard_history)
-    halo = mesh if (shard_history and cfg.halo_exchange) else None
+    halo = mesh if (cfg.halo_exchange and (shard_history or shard_graph)) \
+        else None
     inner = build_train_epoch(cfg, spec, degrees, num_nodes, mesh=halo)
 
+    if data_template is not None:
+        g_sh, f_sh, l_sh = data_shardings(mesh, data_template, shard_graph)
+    else:
+        g_sh = f_sh = l_sh = repl
     return jax.jit(
         inner,
-        in_shardings=(st_sh, repl, repl, repl, repl, bm_sh, repl),
+        in_shardings=(st_sh, g_sh, f_sh, l_sh, repl, bm_sh, repl),
         out_shardings=(st_sh, repl),
         donate_argnums=(0,),
     )
@@ -123,7 +163,9 @@ def make_sharded_train_epoch(cfg, spec, degrees: Tuple[int, ...],
 
 def make_sharded_eval_epoch(cfg, spec, degrees: Tuple[int, ...],
                             num_nodes: int, mesh: Mesh, hist_template,
-                            shard_history: bool = False):
+                            shard_history: bool = False,
+                            data_template=None,
+                            shard_graph: bool = False):
     import jax.tree_util as jtu
     from ..training.step import build_eval_epoch
 
@@ -132,12 +174,17 @@ def make_sharded_eval_epoch(cfg, spec, degrees: Tuple[int, ...],
     hist_sh = jtu.tree_map(
         lambda _: row_sharded(mesh) if shard_history else repl,
         hist_template)
-    halo = mesh if (shard_history and cfg.halo_exchange) else None
+    halo = mesh if (cfg.halo_exchange and (shard_history or shard_graph)) \
+        else None
     inner = build_eval_epoch(cfg, spec, degrees, num_nodes, mesh=halo)
 
+    if data_template is not None:
+        g_sh, f_sh, l_sh = data_shardings(mesh, data_template, shard_graph)
+    else:
+        g_sh = f_sh = l_sh = repl
     return jax.jit(
         inner,
-        in_shardings=(repl, hist_sh, repl, repl, repl, repl, bm_sh, repl),
+        in_shardings=(repl, hist_sh, g_sh, f_sh, l_sh, repl, bm_sh, repl),
         out_shardings=(hist_sh, repl),
         donate_argnums=(1,),
     )

@@ -113,13 +113,13 @@ def compute_importance(graph) -> jax.Array:
 
 
 def expand_uniform(key: jax.Array, graph: PaddedGraph, field_out: jax.Array,
-                   degree: int, need_aw: bool):
+                   degree: int, need_aw: bool, mesh=None):
     """Sample <= ``degree`` neighbors/node uniformly without replacement.
 
     Returns (nbr_id [F,k], slot_w [F,k], slot_aw, scales [F]).
     """
     dcap = graph.pad_degree
-    rows_nbr, rows_w, deg = graph_rows(graph, field_out)   # [F, Dcap]
+    rows_nbr, rows_w, deg = graph_rows(graph, field_out, mesh)  # [F, Dcap]
     f = field_out.shape[0]
     k = min(degree, dcap)
 
@@ -148,7 +148,7 @@ def expand_uniform(key: jax.Array, graph: PaddedGraph, field_out: jax.Array,
 
 def expand_importance(key: jax.Array, graph: PaddedGraph,
                       field_out: jax.Array, degree: int,
-                      importance: jax.Array):
+                      importance: jax.Array, mesh=None):
     """Importance sampling over the neighbor union (scheduler.cpp:63-122).
 
     Samples ``n = min(|field|*degree, |union|)`` nodes from the union of
@@ -161,7 +161,7 @@ def expand_importance(key: jax.Array, graph: PaddedGraph,
     n = graph.num_nodes
     dcap = graph.pad_degree
     f = field_out.shape[0]
-    rows_nbr, rows_w, deg = graph_rows(graph, field_out)
+    rows_nbr, rows_w, deg = graph_rows(graph, field_out, mesh)
     valid = (jnp.arange(dcap, dtype=jnp.int32)[None, :] < deg[:, None])
 
     union = jnp.zeros(n + 1, bool).at[
@@ -222,7 +222,7 @@ def compact_field(field_out: jax.Array, new_ids: jax.Array, num_nodes: int,
 def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
              degrees: Sequence[int], cv: bool, need_aw: bool = False,
              importance: Optional[jax.Array] = None,
-             round_multiple: int = 1) -> BatchFields:
+             round_multiple: int = 1, mesh=None) -> BatchFields:
     """Build the full receptive field for one minibatch.
 
     Equivalent of ``PyScheduler.batch`` (gcn/_scheduler.pyx:55-127): expands
@@ -248,12 +248,12 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
         cap = caps[num_layers - l - 1]
         if importance is not None:
             nbr_id, slot_w, scales, sel_ids = expand_importance(
-                sub, graph, field, degree, importance)
+                sub, graph, field, degree, importance, mesh=mesh)
             slot_aw = None
             field_in, pos_table = compact_field(field, sel_ids, n, cap)
         else:
             nbr_id, slot_w, slot_aw, scales = expand_uniform(
-                sub, graph, field, degree, need_aw)
+                sub, graph, field, degree, need_aw, mesh=mesh)
             field_in, pos_table = compact_field(field, nbr_id, n, cap)
         layer_samples.append(LayerSample(
             slot_pos=pos_table[nbr_id], slot_w=slot_w, slot_aw=slot_aw,

@@ -61,7 +61,8 @@ def init_train_state(key: jax.Array, cfg: Config, spec: M.ModelSpec,
                       step=jnp.zeros((), jnp.int32), avg_params=avg)
 
 
-def scatter_histories(histories, new_histories, fields, num_nodes: int):
+def scatter_histories(histories, new_histories, fields, num_nodes: int,
+                      mesh=None, scatter_cap_mult: float = 2.0):
     """history[field_l] <- new rows; functional tf.scatter_update
     (gcn/models.py:160-166).  Fields are unique per layer (compaction), so
     the scatter is deterministic.
@@ -69,16 +70,34 @@ def scatter_histories(histories, new_histories, fields, num_nodes: int):
     Sentinel-padded field entries write garbage into row N, which is safe:
     every read of row N downstream is either masked by a zero edge weight
     (full-neighborhood term) or feeds rows whose contributions are masked
-    (delta term), so no reset scatter is spent on it."""
+    (delta term), so no reset scatter is spent on it.
+
+    With a mesh and row-sharded histories the update rows are routed to
+    their owner chips point-to-point (parallel/halo.py::row_scatter)
+    instead of GSPMD's [C, d] all-gather; rows beyond the static
+    per-destination capacity are dropped (history stays one step staler —
+    CV tolerates staleness by construction) and counted in the returned
+    ``dropped`` scalar, which the step surfaces as a metric."""
+    from ..parallel.halo import row_scatter
     out = []
+    dropped = jnp.zeros((), jnp.int32)
     for hist_l, new_l, field_l in zip(histories, new_histories, fields):
         if new_l is None:
             out.append(hist_l)
             continue
-        updated = tuple(h.at[field_l].set(nh.astype(h.dtype))
-                        for h, nh in zip(hist_l, new_l))
-        out.append(updated)
-    return tuple(out)
+        updated = []
+        for h, nh in zip(hist_l, new_l):
+            h, drop = row_scatter(h, field_l, nh, mesh, scatter_cap_mult)
+            updated.append(h)
+            dropped = dropped + drop
+        out.append(tuple(updated))
+    return tuple(out), dropped
+
+
+def _labels_gather(labels, batch_field, mesh=None):
+    """labels[batch_field] — owner-routed when labels are node-sharded."""
+    from ..parallel.halo import row_gather
+    return row_gather(labels, batch_field, mesh)
 
 
 def _batch_stats(pack: BatchFields, graph, num_nodes: int, cv: bool):
@@ -124,10 +143,10 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
         pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
                         need_aw=spec.det_dropout,
                         importance=importance if use_importance else None,
-                        round_multiple=cfg.dp)
+                        round_multiple=cfg.dp, mesh=mesh)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
-        y = jnp.take(labels, batch_field, axis=0)
+        y = _labels_gather(labels, batch_field, mesh)
 
         def loss_fn(params):
             logits, new_h = M.forward(
@@ -149,8 +168,9 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
                 lambda a, p: a * d + p * (1 - d), state.avg_params, params)
         else:
             avg_params = state.avg_params
-        histories = scatter_histories(state.histories, new_h,
-                                      pack.fields[:-1], num_nodes)
+        histories, dropped = scatter_histories(
+            state.histories, new_h, pack.fields[:-1], num_nodes, mesh=mesh,
+            scatter_cap_mult=cfg.scatter_cap_mult)
         amt, field_sizes, adj_sizes, fadj_sizes = _batch_stats(
             pack, graph, num_nodes, spec.cv)
         new_state = TrainState(params=params, opt_state=opt_state,
@@ -159,7 +179,8 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
         return new_state, {"loss": loss, "accuracy": acc, "amt_data": amt,
                            "field_sizes": field_sizes,
                            "adj_sizes": adj_sizes,
-                           "fadj_sizes": fadj_sizes}
+                           "fadj_sizes": fadj_sizes,
+                           "hist_dropped": dropped}
 
     return _step
 
@@ -191,15 +212,17 @@ def build_train_epoch(cfg: Config, spec: M.ModelSpec,
             st, m = _step(st, graph, features, labels, importance,
                           batch_ids, key)
             return st, (m["loss"], m["accuracy"], m["amt_data"],
-                        m["field_sizes"], m["adj_sizes"], m["fadj_sizes"])
+                        m["field_sizes"], m["adj_sizes"], m["fadj_sizes"],
+                        m["hist_dropped"])
 
-        state, (losses, accs, amts, fs, adjs, fadjs) = jax.lax.scan(
+        state, (losses, accs, amts, fs, adjs, fadjs, drops) = jax.lax.scan(
             body, state, batch_matrix, unroll=cfg.scan_unroll)
         return state, {"loss": losses[-1], "accuracy": accs[-1],
                        "amt_data": jnp.sum(amts),
                        "field_sizes": jnp.sum(fs, axis=0),
                        "adj_sizes": jnp.sum(adjs, axis=0),
-                       "fadj_sizes": jnp.sum(fadjs, axis=0)}
+                       "fadj_sizes": jnp.sum(fadjs, axis=0),
+                       "hist_dropped": jnp.sum(drops)}
 
     return _epoch
 
@@ -223,10 +246,10 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
         pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
                         need_aw=spec.det_dropout,
                         importance=importance if use_importance else None,
-                        round_multiple=cfg.dp)
+                        round_multiple=cfg.dp, mesh=mesh)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
-        y = jnp.take(labels, batch_field, axis=0)
+        y = _labels_gather(labels, batch_field, mesh)
         logits, new_h = M.forward(params, spec, pack, graph, histories,
                                   features, k_drop, cfg.keep_prob,
                                   train=False, mesh=mesh)
@@ -234,8 +257,9 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
                                        cfg.weight_decay)
         from ..utils.metrics import device_f1_counts
         tp, fp, fn = device_f1_counts(logits, y, valid, spec.multitask)
-        histories = scatter_histories(histories, new_h, pack.fields[:-1],
-                                      num_nodes)
+        histories, _ = scatter_histories(
+            histories, new_h, pack.fields[:-1], num_nodes, mesh=mesh,
+            scatter_cap_mult=cfg.scatter_cap_mult)
         return histories, (loss, acc, tp, fp, fn, jnp.sum(valid))
 
     def _epoch(params, histories, graph, features, labels, importance,
@@ -294,8 +318,8 @@ def make_eval_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
         loss, acc = M.loss_and_metrics(params, spec, logits, y, valid,
                                        cfg.weight_decay)
         pred = M.predict(spec, logits)
-        histories = scatter_histories(histories, new_h, pack.fields[:-1],
-                                      num_nodes)
+        histories, _ = scatter_histories(histories, new_h,
+                                         pack.fields[:-1], num_nodes)
         return {"loss": loss, "accuracy": acc, "pred": pred,
                 "valid": valid}, histories
 
