@@ -202,12 +202,12 @@ def main():
 
     fast = os.environ.get("BENCH_FAST", "") not in ("", "0", "false",
                                                     "False")
-    # bf16 history variant (documented TPU option, --history_dtype=bfloat16;
-    # the CV estimator is unbiased for any stored h-bar, so this changes
-    # variance only): halves the dominant full-neighborhood gather bytes
+    # f32-history variant (--history_dtype=float32, bit-level reference
+    # semantics; bf16 is the validated default — REPLICA_VALIDATION_BF16,
+    # the CV estimator is unbiased for any stored h-bar)
     edges_per_s_bf16 = edges_per_s_big = None
     if not fast:
-        tr16 = Trainer(cfg.replace(history_dtype="bfloat16"), ds)
+        tr16 = Trainer(cfg.replace(history_dtype="float32"), ds)
         bm16 = batch_matrix(300)
         tr16.state, m16 = tr16._train_epoch(
             tr16.state, tr16.graph_train, tr16.train_features, tr16.labels,
@@ -267,8 +267,8 @@ def main():
         del tr, tr16, tr_big, m2, m16, metrics
         result.update(run_convergence(cfg, ds))
     if edges_per_s_bf16 is not None:
-        result["edges_per_s_bf16_history"] = round(edges_per_s_bf16, 1)
-        result["vs_baseline_bf16_history"] = round(
+        result["edges_per_s_f32_history"] = round(edges_per_s_bf16, 1)
+        result["vs_baseline_f32_history"] = round(
             edges_per_s_bf16 / REFERENCE_EDGES_PER_S, 3)
     print(json.dumps(result))
 

@@ -46,22 +46,24 @@ def bench(n, d, k, f, dtype, variant, chunk=None, steps=200):
     idx0 = jnp.asarray(rng.integers(0, n - steps, size=(f, k), dtype=np.int32))
     w = jnp.asarray(rng.random((f, k)).astype(np.float32) / k)
 
-    def contract(idx):
+    def contract(idx, wc):
         if variant == "einsum":
-            return jnp.einsum("fk,fkd->fd", w, jnp.take(table, idx, axis=0))
+            return jnp.einsum("fk,fkd->fd", wc, jnp.take(table, idx, axis=0))
         if variant == "f32acc":
             rows = jnp.take(table, idx, axis=0).astype(jnp.float32)
-            return jnp.einsum("fk,fkd->fd", w, rows)
+            return jnp.einsum("fk,fkd->fd", wc, rows)
         raise ValueError(variant)
 
     def make_body():
         def body(carry, off):
             idx = idx0 + off          # iteration-dependent: no hoisting
             if chunk is None:
-                out = contract(idx)
+                out = contract(idx, w)
             else:
                 idx_c = idx.reshape(f // chunk, chunk, k)
-                out = jax.lax.map(contract, idx_c).reshape(f, d)
+                w_c = w.reshape(f // chunk, chunk, k)
+                out = jax.lax.map(lambda p: contract(*p),
+                                  (idx_c, w_c)).reshape(f, d)
             return carry + jnp.sum(out), ()
         return body, jnp.arange(steps, dtype=jnp.int32)
 

@@ -113,7 +113,18 @@ def main():
     ap.add_argument("--tmp", default="/tmp/replica_validation")
     ap.add_argument("--out", default=os.path.join(_ROOT,
                                                   "REPLICA_VALIDATION.json"))
+    ap.add_argument("--history_dtype", default="float32",
+                    help="history buffer dtype applied to every algo "
+                         "(bfloat16 validates the fast-history option "
+                         "against the same acceptance bands)")
+    ap.add_argument("--algos", default=None,
+                    help="comma-separated subset of the grid to run "
+                         "(e.g. Exact,CVPP,CVDPP); Exact is always "
+                         "included as the parity anchor")
     args = ap.parse_args()
+    if args.algos:
+        keep = set(a.strip() for a in args.algos.split(",")) | {"Exact"}
+        ALGOS[:] = [a for a in ALGOS if a[0] in keep]
 
     if args.platform == "cpu":
         os.environ.setdefault("XLA_FLAGS",
@@ -135,7 +146,8 @@ def main():
     log("Cora replica (reference recipe = defaults):")
     cora_dir = build_cora_replica(args.tmp)
     base = Config(dataset="cora", data_dir=cora_dir, test_degree=10000,
-                  epochs=200, early_stopping=10, seed=1)
+                  epochs=200, early_stopping=10, seed=1,
+                  history_dtype=args.history_dtype)
     ds = L.load_gcn_data("cora", base)
     results["cora_replica"] = run_grid(
         lambda **ov: base.replace(**ov), ds, log, seeds=(1, 2, 3))
@@ -147,7 +159,8 @@ def main():
                       weight_decay=0.0, dropout=0.2, layer_norm=True,
                       batch_size=256, test_batch_size=256, hidden1=64,
                       num_fc_layers=2, test_degree=10000, epochs=200,
-                      early_stopping=50, seed=1)
+                      early_stopping=50, seed=1,
+                      history_dtype=args.history_dtype)
     ds_ppi = L.load_graphsage_data(prefix, base_ppi)
     results["ppi_replica"] = run_grid(
         lambda **ov: base_ppi.replace(**ov), ds_ppi, log, seeds=(1, 2, 3))

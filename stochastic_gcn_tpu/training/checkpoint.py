@@ -23,6 +23,8 @@ import numpy as np
 import jax
 
 _LEAF_PREFIX = "leaf:"
+_BF16_PREFIX = "bf16leaf:"   # bfloat16 stored as a uint16 bit view (npz has
+                             # no native bfloat16; pickle stays banned)
 _AVG_PATH_PREFIX = "['state'].avg_params"
 
 
@@ -39,7 +41,13 @@ def save_checkpoint(ckpt_dir: str, state, eval_histories, key,
     path = os.path.join(ckpt_dir, f"{name}.ckpt.npz")
     payload = {"state": state, "eval_histories": eval_histories, "key": key}
     flat, _ = _path_leaves(payload)
-    arrays = {_LEAF_PREFIX + k: np.asarray(leaf) for k, leaf in flat}
+    arrays = {}
+    for k, leaf in flat:
+        a = np.asarray(leaf)
+        if a.dtype == jax.numpy.bfloat16:
+            arrays[_BF16_PREFIX + k] = a.view(np.uint16)
+        else:
+            arrays[_LEAF_PREFIX + k] = a
     with open(path, "wb") as f:
         np.savez_compressed(f, **arrays)
     print(f"Model saved in file: {path}")
@@ -51,8 +59,12 @@ def load_checkpoint(ckpt_dir: str, state_template, eval_hist_template,
                     name: str = "model"):
     path = os.path.join(ckpt_dir, f"{name}.ckpt.npz")
     z = np.load(path, allow_pickle=False)
-    stored = {k[len(_LEAF_PREFIX):]: k for k in z.files
-              if k.startswith(_LEAF_PREFIX)}
+    stored = {}
+    for k in z.files:
+        if k.startswith(_LEAF_PREFIX):
+            stored[k[len(_LEAF_PREFIX):]] = k
+        elif k.startswith(_BF16_PREFIX):
+            stored[k[len(_BF16_PREFIX):]] = k
 
     # Reconcile the Polyak average with the CURRENT run's polyak_decay
     # BEFORE rebuilding the tree: a checkpoint saved without it must not
@@ -75,6 +87,8 @@ def load_checkpoint(ckpt_dir: str, state_template, eval_hist_template,
             raise KeyError(f"checkpoint {path} is missing leaf {k!r} "
                            "(saved under different model settings?)")
         arr = z[stored[k]]
+        if stored[k].startswith(_BF16_PREFIX):
+            arr = arr.view(jax.numpy.bfloat16)
         tshape = tuple(np.shape(tmpl_leaf))
         if tuple(arr.shape) != tshape:
             raise ValueError(
