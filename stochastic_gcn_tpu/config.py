@@ -90,6 +90,11 @@ class Config:
     history_dtype: str = "bfloat16"
     # Number of devices along the data-parallel mesh axis (1 = single chip).
     dp: int = 1
+    # Host count of the dp mesh: the 'data' axis is built host-major over a
+    # (dp_hosts, dp/dp_hosts) grid (jax.distributed device order), so each
+    # host owns a contiguous block of sharded node rows and halo exchanges
+    # cross DCN only for remote-host rows.  1 = single-host.
+    dp_hosts: int = 1
     # With row-sharded history (--dp > 1): route the CV full-neighborhood
     # term through an explicit halo exchange (local contraction +
     # psum_scatter of [F, d] partials) instead of GSPMD's default

@@ -25,14 +25,46 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axis_name: str = "data") -> Mesh:
+              axis_name: str = "data",
+              hosts: int = 1) -> Mesh:
+    """1-D ('data',) mesh over the first ``n_devices`` devices.
+
+    ``hosts`` declares a (hosts, n_devices/hosts) grid flattened
+    HOST-MAJOR: all chips of host 0 first, then host 1, ... — the order
+    ``jax.devices()`` already yields under ``jax.distributed.initialize``
+    (devices sorted by process index).  Everything downstream keeps the
+    single logical 'data' axis, but because row-sharding assigns
+    contiguous node blocks along the axis, host-major order means each
+    host owns a contiguous N/H slice and the halo exchanges
+    (parallel/halo.py) cross DCN only for rows owned by other hosts while
+    intra-host routing rides ICI.  On a single process this validates the
+    shape and documents the layout; under multi-controller JAX the same
+    code runs unchanged.
+    """
     devices = jax.devices()
     if n_devices is not None:
         if len(devices) < n_devices:
             raise ValueError(
                 f"requested {n_devices} devices, have {len(devices)}")
         devices = devices[:n_devices]
+    if hosts > 1:
+        if len(devices) % hosts:
+            raise ValueError(
+                f"{len(devices)} devices do not tile over {hosts} hosts")
+        # verify host-major process grouping when real process info exists
+        per = len(devices) // hosts
+        procs = [getattr(d, "process_index", 0) for d in devices]
+        if procs != sorted(procs):
+            # re-sort into process-major order (stable within a process)
+            devices = [d for _, d in sorted(
+                enumerate(devices), key=lambda t: (procs[t[0]], t[0]))]
+        del per
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def mesh_host_shape(mesh: Mesh, hosts: int) -> tuple:
+    """(hosts, chips_per_host) view of a host-major 1-D mesh."""
+    return (hosts, mesh.devices.size // hosts)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

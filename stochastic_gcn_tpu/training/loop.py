@@ -149,7 +149,7 @@ class Trainer:
                                          state_shardings)
             if cfg.batch_size % cfg.dp or cfg.test_batch_size % cfg.dp:
                 raise ValueError("batch sizes must divide --dp")
-            self.mesh = make_mesh(cfg.dp)
+            self.mesh = make_mesh(cfg.dp, hosts=cfg.dp_hosts)
             if cfg.shard_graph:
                 # row-pad every O(N) table so it tiles over the mesh, then
                 # shard it along the node dimension — per-chip HBM scales
