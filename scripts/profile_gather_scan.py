@@ -40,10 +40,19 @@ def scan_time(make_body, steps=200):
     return (time.time() - t0) / steps * 1e3
 
 
-def bench(n, d, k, f, dtype, variant, chunk=None, steps=200):
+def bench(n, d, k, f, dtype, variant, chunk=None, steps=200,
+          sentinel_frac=0.0):
     rng = np.random.default_rng(0)
     table = jnp.asarray(rng.normal(size=(n + 1, d)), dtype=dtype)
-    idx0 = jnp.asarray(rng.integers(0, n - steps, size=(f, k), dtype=np.int32))
+    idx0 = np.asarray(rng.integers(0, n - steps, size=(f, k),
+                                   dtype=np.int32))
+    if sentinel_frac > 0:
+        # realistic padded-row layout: each row's trailing slots hold the
+        # sentinel id N (zero row), deg ~ Binomial around (1-frac)*k
+        deg = rng.binomial(k, 1.0 - sentinel_frac, size=f)
+        mask = np.arange(k)[None, :] >= deg[:, None]
+        idx0[mask] = n - steps            # max valid base (maps to ~N)
+    idx0 = jnp.asarray(idx0)
     w = jnp.asarray(rng.random((f, k)).astype(np.float32) / k)
 
     def contract(idx, wc):
@@ -72,22 +81,37 @@ def bench(n, d, k, f, dtype, variant, chunk=None, steps=200):
 
 def main():
     n, d, k = 233_000, 128, 64
-    log(f"devices={jax.devices()}  N={n} d={d} K={k}; scan-of-200 timing")
-    for f in (512, 4096):
-        for tag, dt in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
-            ms = bench(n, d, k, f, dt, "einsum")
-            gb = f * k * d * jnp.dtype(dt).itemsize / 1e9
-            log(f"  F={f:<5d} [{tag}] einsum        {ms:7.3f} ms "
-                f"({gb / (ms / 1e3):6.1f} GB/s)")
-            for chunk in (512, 1024):
-                if chunk >= f:
-                    continue
-                ms = bench(n, d, k, f, dt, "einsum", chunk=chunk)
-                log(f"  F={f:<5d} [{tag}] chunk={chunk:<5d}   {ms:7.3f} ms "
+    which = sys.argv[1] if len(sys.argv) > 1 else "chunk"
+    log(f"devices={jax.devices()}  N={n} d={d}; scan-of-200 timing "
+        f"[{which}]")
+    if which == "chunk":
+        for f in (512, 4096):
+            for tag, dt in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
+                ms = bench(n, d, k, f, dt, "einsum")
+                gb = f * k * d * jnp.dtype(dt).itemsize / 1e9
+                log(f"  F={f:<5d} [{tag}] einsum        {ms:7.3f} ms "
                     f"({gb / (ms / 1e3):6.1f} GB/s)")
-            if tag == "bf16":
-                ms = bench(n, d, k, f, dt, "f32acc")
-                log(f"  F={f:<5d} [{tag}] f32acc        {ms:7.3f} ms")
+                for chunk in (512, 1024):
+                    if chunk >= f:
+                        continue
+                    ms = bench(n, d, k, f, dt, "einsum", chunk=chunk)
+                    log(f"  F={f:<5d} [{tag}] chunk={chunk:<5d}   "
+                        f"{ms:7.3f} ms ({gb / (ms / 1e3):6.1f} GB/s)")
+                if tag == "bf16":
+                    ms = bench(n, d, k, f, dt, "f32acc")
+                    log(f"  F={f:<5d} [{tag}] f32acc        {ms:7.3f} ms")
+    elif which == "width":
+        # Does gather cost scale with the issued slot count?  (the
+        # degree-bucketing question: mean degree 28 vs Dcap 64 means 56%
+        # of slots are sentinel padding)
+        f = 4096
+        for tag, dt in [("f32", jnp.float32), ("bf16", jnp.bfloat16)]:
+            for kk in (16, 32, 64):
+                ms = bench(n, d, kk, f, dt, "einsum")
+                log(f"  F={f} K={kk:<3d} [{tag}] random      {ms:7.3f} ms")
+            # realistic padded rows: binomial degree, trailing sentinels
+            ms = bench(n, d, 64, f, dt, "einsum", sentinel_frac=0.56)
+            log(f"  F={f} K=64  [{tag}] 56% sentinel {ms:7.3f} ms")
 
 
 if __name__ == "__main__":

@@ -88,6 +88,13 @@ class Config:
     # REPLICA_VALIDATION_BF16.json) or 'float32' (bit-level reference
     # semantics; the estimator-math test oracles pin this).
     history_dtype: str = "bfloat16"
+    # Dtype of the EVAL-side history buffers.  Kept float32 by default so
+    # CV test-time inference converges to EXACTLY the deterministic exact
+    # prediction after num_layers+1 passes (the reference's Test protocol,
+    # train.py:320-329); bf16 eval histories reach only a bf16 fixed point
+    # (last two passes wobble by ~1e-4 in loss).  Training throughput is
+    # unaffected.
+    test_history_dtype: str = "float32"
     # Number of devices along the data-parallel mesh axis (1 = single chip).
     dp: int = 1
     # Host count of the dp mesh: the 'data' axis is built host-major over a

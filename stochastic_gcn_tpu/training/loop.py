@@ -131,7 +131,8 @@ class Trainer:
         # eval-side history is SEPARATE from train-side, as in the reference
         # (tf.Variable outside make_template; train.py:174)
         self.eval_histories = M.init_histories(
-            self.test_spec, n, max(8, cfg.dp), jnp.dtype(cfg.history_dtype))
+            self.test_spec, n, max(8, cfg.dp),
+            jnp.dtype(cfg.test_history_dtype))
 
         self._train_step = S.make_train_step(cfg, self.train_spec,
                                              self.train_degrees, n)

@@ -63,7 +63,10 @@ def init_train_state(key: jax.Array, cfg: Config, spec: M.ModelSpec,
 
 def scatter_histories(histories, new_histories, fields, num_nodes: int,
                       mesh=None, scatter_cap_mult: float = 2.0):
-    """history[field_l] <- new rows; functional tf.scatter_update
+    """history[field_l] <- new rows for the input-side fields
+    ``fields[:-1]`` (``fields`` is the FULL pack.fields tuple — the final
+    batch field is not scattered but its size anchors the sorted-segment
+    boundaries); functional tf.scatter_update
     (gcn/models.py:160-166).  Fields are unique per layer (compaction), so
     the scatter is deterministic.
 
@@ -77,21 +80,64 @@ def scatter_histories(histories, new_histories, fields, num_nodes: int,
     instead of GSPMD's [C, d] all-gather; rows beyond the static
     per-destination capacity are dropped (history stays one step staler —
     CV tolerates staleness by construction) and counted in the returned
-    ``dropped`` scalar, which the step surfaces as a metric."""
+    ``dropped`` scalar, which the step surfaces as a metric.
+
+    Single-chip fast path: each field is by construction the concatenation
+    ``[batch, new_L-1, ..., new_l]`` at STATIC boundaries (the capacity
+    ladder), where every ``new`` segment is ascending (compact_field emits
+    ids in node-id order with trailing-N sentinel padding).  The scatter
+    is issued per segment with ``indices_are_sorted`` — measured 33%
+    (f32) / 66% (bf16) cheaper than one unsorted scatter on TPU v5e
+    (scripts/profile_scatter.py) — after sorting the small batch prefix
+    (one argsort + row permute of B rows).  Repeated sentinel entries all
+    target row N, whose content is garbage-tolerated by design, so the
+    ``unique_indices`` contract is violated only for that masked row."""
     from ..parallel.halo import row_scatter
     out = []
     dropped = jnp.zeros((), jnp.int32)
-    for hist_l, new_l, field_l in zip(histories, new_histories, fields):
+    bounds = sorted(f.shape[0] for f in fields)
+    for hist_l, new_l, field_l in zip(histories, new_histories,
+                                      fields[:-1]):
         if new_l is None:
             out.append(hist_l)
             continue
         updated = []
         for h, nh in zip(hist_l, new_l):
-            h, drop = row_scatter(h, field_l, nh, mesh, scatter_cap_mult)
+            if mesh is not None:
+                h, drop = row_scatter(h, field_l, nh, mesh,
+                                      scatter_cap_mult)
+                dropped = dropped + drop
+            else:
+                h = _segment_sorted_scatter(h, field_l, nh, bounds)
             updated.append(h)
-            dropped = dropped + drop
         out.append(tuple(updated))
     return tuple(out), dropped
+
+
+def _segment_sorted_scatter(h, ids, rows, bounds):
+    """Scatter ``rows`` at ``ids`` into ``h`` exploiting the field's
+    sorted-segment structure (see scatter_histories).  ``bounds`` is the
+    ascending capacity ladder of ALL fields; segments of this field are
+    the bounds <= its own length plus the final full length."""
+    c = ids.shape[0]
+    cuts = [b for b in bounds if b < c] + [c]
+    lo = 0
+    for hi in cuts:
+        if hi <= lo:
+            continue
+        seg_ids = jax.lax.slice_in_dim(ids, lo, hi)
+        seg_rows = jax.lax.slice_in_dim(rows, lo, hi)
+        if lo == 0:
+            # batch prefix: caller-ordered — sort it (B is the smallest
+            # segment; the argsort+permute is cheap)
+            order = jnp.argsort(seg_ids)
+            seg_ids = jnp.take(seg_ids, order)
+            seg_rows = jnp.take(seg_rows, order, axis=0)
+        h = h.at[seg_ids].set(seg_rows.astype(h.dtype),
+                              unique_indices=True,
+                              indices_are_sorted=True)
+        lo = hi
+    return h
 
 
 def _labels_gather(labels, batch_field, mesh=None):
@@ -169,7 +215,7 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
         else:
             avg_params = state.avg_params
         histories, dropped = scatter_histories(
-            state.histories, new_h, pack.fields[:-1], num_nodes, mesh=mesh,
+            state.histories, new_h, pack.fields, num_nodes, mesh=mesh,
             scatter_cap_mult=cfg.scatter_cap_mult)
         amt, field_sizes, adj_sizes, fadj_sizes = _batch_stats(
             pack, graph, num_nodes, spec.cv)
@@ -258,7 +304,7 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
         from ..utils.metrics import device_f1_counts
         tp, fp, fn = device_f1_counts(logits, y, valid, spec.multitask)
         histories, _ = scatter_histories(
-            histories, new_h, pack.fields[:-1], num_nodes, mesh=mesh,
+            histories, new_h, pack.fields, num_nodes, mesh=mesh,
             scatter_cap_mult=cfg.scatter_cap_mult)
         return histories, (loss, acc, tp, fp, fn, jnp.sum(valid))
 
@@ -319,7 +365,7 @@ def make_eval_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
                                        cfg.weight_decay)
         pred = M.predict(spec, logits)
         histories, _ = scatter_histories(histories, new_h,
-                                         pack.fields[:-1], num_nodes)
+                                         pack.fields, num_nodes)
         return {"loss": loss, "accuracy": acc, "pred": pred,
                 "valid": valid}, histories
 

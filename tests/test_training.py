@@ -129,3 +129,31 @@ def test_early_stopping_runs(ds):
 
 
 import jax  # noqa: E402  (used in checkpoint test)
+
+
+def test_segment_sorted_scatter_matches_plain(ds):
+    """The sorted-segment history scatter (scatter_histories fast path)
+    writes exactly what a plain .at[field].set would on every real row,
+    for a REAL scheduled pack (batch + compacted new-id segments)."""
+    from stochastic_gcn_tpu.data.graph import pad_csr
+    from stochastic_gcn_tpu.sampler.scheduler import schedule
+    from stochastic_gcn_tpu.training.step import scatter_histories
+
+    n = ds.num_data
+    graph = pad_csr(ds.train_adj, -1)
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.permutation(ds.train_d)[:32].astype(np.int32))
+    pack = schedule(jax.random.PRNGKey(3), graph, batch, (2, 2), cv=True)
+    d = 5
+    hists = tuple(
+        (jnp.asarray(rng.normal(size=(n + 1, d)).astype(np.float32)),)
+        for _ in pack.fields[:-1])
+    news = tuple(
+        (jnp.asarray(rng.normal(size=(f.shape[0], d)).astype(np.float32)),)
+        for f in pack.fields[:-1])
+    out, dropped = scatter_histories(hists, news, pack.fields, n)
+    assert int(dropped) == 0
+    for (h0,), (nh,), f, (h1,) in zip(hists, news, pack.fields, out):
+        ref = h0.at[f].set(nh)
+        np.testing.assert_allclose(np.asarray(h1)[:n], np.asarray(ref)[:n],
+                                   rtol=0, atol=0)
