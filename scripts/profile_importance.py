@@ -50,7 +50,9 @@ def main():
     log(f"devices={jax.devices()}")
     for batch, steps in ((512, 200), (4096, 60)):
         for name, over in (("NS+PP", dict()),
-                           ("IS+PP", dict(importance=True))):
+                           ("IS+PP approx", dict(importance=True)),
+                           ("IS+PP exact",
+                            dict(importance=True, is_approx_topk=False))):
             cfg = Config(dataset="reddit_like", batch_size=batch, degree=1,
                          test_degree=1, cv=False, test_cv=False,
                          hidden1=HIDDEN, normalization="graphsage",

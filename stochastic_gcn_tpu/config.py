@@ -95,6 +95,13 @@ class Config:
     # (last two passes wobble by ~1e-4 in loss).  Training throughput is
     # unaffected.
     test_history_dtype: str = "float32"
+    # IS scheduler (--importance): select the Gumbel top-k over the
+    # neighbor union with TPU-native approx_max_k (2.7x cheaper than the
+    # exact N-sized sort at Reddit scale — 0.58 -> 0.22 ms at k=512 over
+    # 233k scores, scripts/profile_sched.py) at the given recall; false =
+    # exact top_k (reference-faithful ranking).
+    is_approx_topk: bool = True
+    is_recall_target: float = 0.95
     # Number of devices along the data-parallel mesh axis (1 = single chip).
     dp: int = 1
     # Host count of the dp mesh: the 'data' axis is built host-major over a

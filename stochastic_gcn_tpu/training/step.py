@@ -189,7 +189,9 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
         pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
                         need_aw=spec.det_dropout,
                         importance=importance if use_importance else None,
-                        round_multiple=cfg.dp, mesh=mesh)
+                        round_multiple=cfg.dp, mesh=mesh,
+                        is_approx_topk=cfg.is_approx_topk,
+                        is_recall_target=cfg.is_recall_target)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = _labels_gather(labels, batch_field, mesh)
@@ -292,7 +294,9 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
         pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
                         need_aw=spec.det_dropout,
                         importance=importance if use_importance else None,
-                        round_multiple=cfg.dp, mesh=mesh)
+                        round_multiple=cfg.dp, mesh=mesh,
+                        is_approx_topk=cfg.is_approx_topk,
+                        is_recall_target=cfg.is_recall_target)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = _labels_gather(labels, batch_field, mesh)
@@ -353,7 +357,9 @@ def make_eval_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
         pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
                         need_aw=spec.det_dropout,
                         importance=importance if use_importance else None,
-                        round_multiple=cfg.dp)
+                        round_multiple=cfg.dp,
+                        is_approx_topk=cfg.is_approx_topk,
+                        is_recall_target=cfg.is_recall_target)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = jnp.take(labels, batch_field, axis=0)
@@ -386,7 +392,9 @@ def make_pred_and_grad(cfg: Config, spec: M.ModelSpec,
         pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
                         need_aw=spec.det_dropout,
                         importance=importance if use_importance else None,
-                        round_multiple=cfg.dp)
+                        round_multiple=cfg.dp,
+                        is_approx_topk=cfg.is_approx_topk,
+                        is_recall_target=cfg.is_recall_target)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = jnp.take(labels, batch_field, axis=0)
