@@ -115,10 +115,17 @@ def build_planted_labels(base, cache="data/bench_reddit_planted.npz"):
     return labels
 
 
-def run_convergence(cfg, base, target_f1=0.35, max_epochs=60):
+def run_convergence(cfg, base, target_f1=0.40, max_epochs=150):
     """Epochs/seconds to target val micro-F1 on the planted-signal task —
     the second north-star metric (BASELINE.md; reference threshold protocol:
-    scripts/analyze-time.py:12-71, 0.94 on real Reddit)."""
+    scripts/analyze-time.py:12-71, 0.94 on real Reddit).
+
+    Target calibration (TPU, 250-epoch probe, /tmp/conv_plateau.log
+    2026-08-17): the task passes 0.40 at ~epoch 95-100 and plateaus
+    ~0.48 by 250 — 0.40 at max 150 epochs mirrors the reference's
+    "threshold safely below the achievable plateau" protocol (0.94 vs
+    ~0.963 on real Reddit).  bf16-vs-f32 history A/B at 60 epochs:
+    0.3027 vs 0.3002 — no precision effect on optimization speed."""
     import dataclasses
     from stochastic_gcn_tpu.training.loop import Trainer
 
@@ -213,11 +220,16 @@ def main():
             tr16.state, tr16.graph_train, tr16.train_features, tr16.labels,
             tr16.importance_train, bm16, tr16._next_key())
         _ = float(m16["loss"])
+        # time >= 3 dispatches: a single ~0.5 s dispatch is at the mercy
+        # of tunnel sync jitter (+-0.1-0.3 s on the wall clock)
+        amt16 = 0
         t0 = time.time()
-        tr16.state, m16 = tr16._train_epoch(
-            tr16.state, tr16.graph_train, tr16.train_features, tr16.labels,
-            tr16.importance_train, batch_matrix(300), tr16._next_key())
-        amt16 = int(m16["amt_data"])
+        for _ in range(3):
+            tr16.state, m16 = tr16._train_epoch(
+                tr16.state, tr16.graph_train, tr16.train_features,
+                tr16.labels, tr16.importance_train, batch_matrix(300),
+                tr16._next_key())
+            amt16 += int(m16["amt_data"])
         edges_per_s_bf16 = amt16 / (time.time() - t0)
 
     # secondary: max-throughput batch (per-step cost is latency-bound and
@@ -239,12 +251,14 @@ def main():
             tr_big.labels, tr_big.importance_train, big_matrix(big_steps),
             tr_big._next_key())
         _ = float(m2["loss"])
+        amt_big = 0
         t0 = time.time()
-        tr_big.state, m2 = tr_big._train_epoch(
-            tr_big.state, tr_big.graph_train, tr_big.train_features,
-            tr_big.labels, tr_big.importance_train, big_matrix(big_steps),
-            tr_big._next_key())
-        amt_big = int(m2["amt_data"])
+        for _ in range(3):
+            tr_big.state, m2 = tr_big._train_epoch(
+                tr_big.state, tr_big.graph_train, tr_big.train_features,
+                tr_big.labels, tr_big.importance_train,
+                big_matrix(big_steps), tr_big._next_key())
+            amt_big += int(m2["amt_data"])
         dt_big = time.time() - t0
         edges_per_s_big = amt_big / dt_big
     result = {
@@ -270,6 +284,29 @@ def main():
         result["edges_per_s_f32_history"] = round(edges_per_s_bf16, 1)
         result["vs_baseline_f32_history"] = round(
             edges_per_s_bf16 / REFERENCE_EDGES_PER_S, 3)
+    if not fast:
+        # driver-visible hardware smoke of the Pallas streaming-gather
+        # kernel (the true-f32 full-neighborhood option, --use_pallas):
+        # compiles + runs on the real backend and is checked against the
+        # XLA gather+einsum at f64-free tolerance (VERDICT r1 weak #4).
+        try:
+            from stochastic_gcn_tpu.ops.pallas_spmm import (
+                hbm_gather_aggregate, hbm_gather_aggregate_xla)
+            rngp = np.random.default_rng(2)
+            table = jnp.asarray(
+                rngp.normal(size=(10_000, HIDDEN)).astype(np.float32))
+            idx = jnp.asarray(
+                rngp.integers(0, 10_000, size=(256, 32)).astype(np.int32))
+            w = jnp.asarray(
+                rngp.normal(size=(256, 32)).astype(np.float32))
+            got = np.asarray(hbm_gather_aggregate(table, idx, w))
+            ref = np.asarray(hbm_gather_aggregate_xla(table, idx, w))
+            err = float(np.max(np.abs(got - ref)))
+            result["pallas_gather_max_abs_err"] = round(err, 8)
+            result["pallas_gather_ok"] = bool(err < 1e-3)
+        except Exception as e:      # noqa: BLE001 — report, don't crash
+            result["pallas_gather_ok"] = False
+            result["pallas_gather_error"] = repr(e)[:200]
     print(json.dumps(result))
 
 

@@ -126,12 +126,20 @@ def expand_uniform(key: jax.Array, graph: PaddedGraph, field_out: jax.Array,
     if k >= dcap:
         nbr_id, base_w = rows_nbr, rows_w
     else:
-        u = jax.random.uniform(key, (f, dcap))
-        valid = (jnp.arange(dcap, dtype=jnp.int32)[None, :] < deg[:, None])
-        u = jnp.where(valid, u, -1.0)
-        if k == 1:  # degree-1 fast path: argmax instead of top_k sort
-            sel = jnp.argmax(u, axis=1).astype(jnp.int32)[:, None]
+        if k == 1:
+            # degree-1 fast path: a single without-replacement draw IS a
+            # uniform pick over the deg valid slots, so ONE uniform per
+            # row suffices — no [F, Dcap] uniform tensor, no argmax
+            # (262k threefry evals -> 4k at batch 4096)
+            u = jax.random.uniform(key, (f,))
+            sel = jnp.minimum(
+                (u * deg.astype(jnp.float32)).astype(jnp.int32),
+                jnp.maximum(deg - 1, 0))[:, None]
         else:
+            u = jax.random.uniform(key, (f, dcap))
+            valid = (jnp.arange(dcap, dtype=jnp.int32)[None, :]
+                     < deg[:, None])
+            u = jnp.where(valid, u, -1.0)
             _, sel = jax.lax.top_k(u, k)       # [F, k] distinct slots
         nbr_id = jnp.take_along_axis(rows_nbr, sel, axis=1)
         base_w = jnp.take_along_axis(rows_w, sel, axis=1)

@@ -91,7 +91,10 @@ def scatter_histories(histories, new_histories, fields, num_nodes: int,
     (scripts/profile_scatter.py) — after sorting the small batch prefix
     (one argsort + row permute of B rows).  Repeated sentinel entries all
     target row N, whose content is garbage-tolerated by design, so the
-    ``unique_indices`` contract is violated only for that masked row."""
+    ``unique_indices`` contract is violated only for that masked row.
+    Fields below SORTED_SCATTER_MIN_ROWS take one plain scatter instead —
+    end-to-end the per-segment dispatches cost more than they save at
+    small capacities (A/B table at the constant's definition)."""
     from ..parallel.halo import row_scatter
     out = []
     dropped = jnp.zeros((), jnp.int32)
@@ -107,11 +110,23 @@ def scatter_histories(histories, new_histories, fields, num_nodes: int,
                 h, drop = row_scatter(h, field_l, nh, mesh,
                                       scatter_cap_mult)
                 dropped = dropped + drop
-            else:
+            elif field_l.shape[0] >= SORTED_SCATTER_MIN_ROWS:
                 h = _segment_sorted_scatter(h, field_l, nh, bounds)
+            else:
+                h = h.at[field_l].set(nh.astype(h.dtype),
+                                      unique_indices=True)
             updated.append(h)
         out.append(tuple(updated))
     return tuple(out), dropped
+
+
+# Below this static field capacity the per-segment dispatch overhead +
+# batch-prefix argsort of the sorted-segment scatter exceed its savings:
+# same-process A/B on TPU v5e (scripts/profile_headline_ab.py, bf16
+# history) measured plain scatter 0.55 vs sorted 0.65 ms/step at batch
+# 512 (field cap ~1k) but sorted 3.16 vs plain 3.33 at batch 4096
+# (field cap ~8k).  The capacity is static, so the choice is trace-time.
+SORTED_SCATTER_MIN_ROWS = 4096
 
 
 def _segment_sorted_scatter(h, ids, rows, bounds):

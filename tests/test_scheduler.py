@@ -102,6 +102,33 @@ def test_sampled_weights_rescaled_unbiased(small):
     np.testing.assert_allclose(acc, adj[:16], atol=0.12)
 
 
+def test_sampled_weights_unbiased_degree1(small):
+    """The degree-1 fast path (one uniform per row) must stay unbiased:
+    E[Â_samp] == Â with each neighbor picked w.p. 1/deg and weight
+    rescaled by deg."""
+    ds, g = small
+    n = ds.num_data
+    batch = jnp.asarray(np.arange(16), jnp.int32)
+    adj = ds.full_adj.toarray()
+
+    @jax.jit
+    def one(key):
+        return schedule(key, g, batch, (1,), cv=False)
+
+    acc = np.zeros((16, n), np.float64)
+    trials = 400
+    for t in range(trials):
+        pack = one(jax.random.PRNGKey(t))
+        acc += sampled_adj_dense(g, pack, 0, n)
+    acc /= trials
+    np.testing.assert_allclose(acc, adj[:16], atol=0.15)
+    # every draw hits a real neighbor with the full-degree rescale
+    pack = one(jax.random.PRNGKey(999))
+    w = np.asarray(pack.layers[0].slot_w)[:, 0]
+    deg = np.asarray(g.deg)[:16]
+    assert (w[deg > 0] != 0).all()
+
+
 def test_exact_mode_recovers_full_adjacency(small):
     """degree >= max degree -> the sampled adjacency IS the full one."""
     ds, g = small

@@ -157,3 +157,13 @@ def test_segment_sorted_scatter_matches_plain(ds):
         ref = h0.at[f].set(nh)
         np.testing.assert_allclose(np.asarray(h1)[:n], np.asarray(ref)[:n],
                                    rtol=0, atol=0)
+    # the sorted-segment variant itself (chosen above
+    # SORTED_SCATTER_MIN_ROWS; these small fields take the plain path
+    # inside scatter_histories) must write identically
+    from stochastic_gcn_tpu.training.step import _segment_sorted_scatter
+    bounds = sorted(f.shape[0] for f in pack.fields)
+    for (h0,), (nh,), f in zip(hists, news, pack.fields):
+        got = _segment_sorted_scatter(h0, f, nh, bounds)
+        ref = h0.at[f].set(nh)
+        np.testing.assert_allclose(np.asarray(got)[:n], np.asarray(ref)[:n],
+                                   rtol=0, atol=0)
