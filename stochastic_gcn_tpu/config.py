@@ -130,6 +130,22 @@ class Config:
     # by construction — and counted in the hist_dropped metric.  >= dp
     # forces exactness for any skew.
     scatter_cap_mult: float = 2.0
+    # Partition-aware batch assignment (--dp > 1): fill each chip's batch
+    # columns with train/eval ids whose history/graph rows that chip OWNS
+    # (row-sharding assigns contiguous node blocks), so the batch field's
+    # history reads/writes are chip-local; ids overflowing their owner's
+    # slots spill to other chips' free slots, so each id still appears
+    # exactly once per epoch (reference epoch semantics, train.py:181-190).
+    # Batches become owner-stratified samples instead of uniform draws —
+    # per-epoch coverage is identical, batch composition is not.
+    owner_batching: bool = False
+    # Relabel nodes at load time by a locality-improving permutation so
+    # that graph neighbors land in the same contiguous ownership block:
+    # 'rcm' = reverse Cuthill-McKee over the symmetrized full adjacency
+    # (bandwidth-minimizing).  Together with --owner_batching this makes
+    # the sampled receptive field mostly chip-local.  Pure relabeling —
+    # training semantics are permutation-invariant.  'none' = keep ids.
+    partition_nodes: str = "none"
     # Use the Pallas streaming-gather kernel for the CV full-neighborhood
     # term: true-f32 accumulation (XLA's default-precision einsum reduces
     # in bf16 passes) at ~3x the op time. Off by default for speed.

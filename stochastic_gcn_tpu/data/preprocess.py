@@ -175,3 +175,56 @@ def data_augmentation(num_data, train_adj, full_adj, feats, labels,
     test_data = test_data + n_rep * num_data
     return (big_n, adj, feats, adj.dot(feats), labels,
             train_data, val_data, test_data)
+
+
+def locality_permutation(adj: sp.spmatrix, method: str = "rcm") -> np.ndarray:
+    """Node permutation improving edge locality for contiguous-block
+    row-sharding (cfg.partition_nodes): position i of the returned array
+    holds the OLD id placed at NEW id i.
+
+    'rcm' = reverse Cuthill-McKee over the symmetrized STRUCTURE of
+    ``adj`` (bandwidth minimization): after relabeling, a node's graph
+    neighbors have nearby ids, so cutting the id range into P contiguous
+    ownership blocks leaves most edges (and hence most sampled
+    receptive-field rows) within their batch node's owner chip.  This is
+    the framework's lightweight stand-in for a METIS-style partitioner —
+    pure scipy, deterministic, O(E).  The reference has no multi-device
+    layout at all (SURVEY.md §2.3); relabeling is semantically a no-op.
+    """
+    if method != "rcm":
+        raise ValueError(f"unknown partition_nodes method: {method!r}")
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    sym = (adj + adj.T).astype(bool).astype(np.int8).tocsr()
+    return np.asarray(reverse_cuthill_mckee(sym, symmetric_mode=True),
+                      dtype=np.int64)
+
+
+def relabel_dataset(ds, perm: np.ndarray):
+    """Apply a node permutation to every per-node table of a Dataset
+    (adjacency rows+cols, features, PP features, labels, id splits).
+    Training is permutation-invariant: losses/metrics are per-node and the
+    estimators depend only on graph structure, so trajectories match the
+    unrelabeled run up to floating-point reduction order."""
+    from .graph import Dataset
+
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+
+    def remap_adj(a):
+        return a.tocsr()[perm][:, perm].tocsr()
+
+    def remap_rows(x):
+        return x.tocsr()[perm] if sp.issparse(x) else np.asarray(x)[perm]
+
+    return Dataset(
+        num_data=ds.num_data,
+        train_adj=remap_adj(ds.train_adj),
+        full_adj=remap_adj(ds.full_adj),
+        feats=remap_rows(ds.feats),
+        train_feats=remap_rows(ds.train_feats),
+        test_feats=remap_rows(ds.test_feats),
+        labels=np.asarray(ds.labels)[perm],
+        train_d=inv[np.asarray(ds.train_d)].astype(np.int32),
+        val_d=inv[np.asarray(ds.val_d)].astype(np.int32),
+        test_d=inv[np.asarray(ds.test_d)].astype(np.int32),
+    )

@@ -132,11 +132,10 @@ def ema_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
 
     Z = alpha * Â_samp·H + (1-alpha) * h̄[field_out];  new history = Z.
     """
-    f = ls.slot_pos.shape[0]
     a_hat = fanout_gather(inputs, ls.slot_pos, ls.slot_w)
-    hist_rows = jnp.take(history[0], field_in[:f], axis=0)
+    hist_rows = jnp.take(history[0], _self_rows(field_in, ls), axis=0)
     a_nbr = a_hat * alpha + hist_rows * (1.0 - alpha)
-    return _self_concat(normalization, inputs[:f], a_nbr), (a_nbr,)
+    return _self_concat(normalization, _self_rows(inputs, ls), a_nbr), (a_nbr,)
 
 
 def _self_concat(normalization: str, self_part, nbr_part):
@@ -145,21 +144,30 @@ def _self_concat(normalization: str, self_part, nbr_part):
     return jnp.concatenate((self_part, nbr_part), axis=1)
 
 
+def _self_rows(x: jax.Array, ls: LayerSample) -> jax.Array:
+    """The OUTPUT field's rows of an input-field tensor: the ``[:F_out]``
+    prefix under the classic field layout (scheduler.cpp:48-52 invariant),
+    a position gather under the owner-aligned layout
+    (scheduler.py::compact_field_aligned, LayerSample.self_pos)."""
+    if ls.self_pos is None:
+        return x[:ls.slot_pos.shape[0]]
+    return jnp.take(x, ls.self_pos, axis=0)
+
+
 def plain_aggregate(inputs, ls: LayerSample, normalization: str):
     """PlainAggregator (gcn/layers.py:214-257): Z = Â_samp·H, with self
     concat under graphsage normalization and a (mu, var) moment branch that
     squares the adjacency for the variance."""
-    f = ls.slot_pos.shape[0]
     if isinstance(inputs, tuple):
         mu, var = inputs
         mu_n = fanout_gather(mu, ls.slot_pos, ls.slot_w)
         var_n = fanout_gather(var, ls.slot_pos, jnp.square(ls.slot_w))
         if normalization == "gcn":
             return mu_n, var_n
-        return (jnp.concatenate((mu[:f], mu_n), axis=1),
-                jnp.concatenate((var[:f], var_n), axis=1))
+        return (jnp.concatenate((_self_rows(mu, ls), mu_n), axis=1),
+                jnp.concatenate((_self_rows(var, ls), var_n), axis=1))
     nbr = fanout_gather(inputs, ls.slot_pos, ls.slot_w)
-    return _self_concat(normalization, inputs[:f], nbr)
+    return _self_concat(normalization, _self_rows(inputs, ls), nbr)
 
 
 def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
@@ -177,8 +185,6 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
       (mu, var)   — det_dropout moment propagation with squared/cross adj
       plain       — CV: Â_samp·(H - h̄) + Â_full·h̄
     """
-    f = ls.slot_pos.shape[0]
-
     if cvd:
         h, mu = inputs
         mu_small = history_gather(history[0], field_in, mesh)  # h̄ on in-field
@@ -193,8 +199,9 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
         new_history = (mu,)
         if normalization == "gcn":
             return (h_neighbour, mu_neighbour), new_history
-        return ((jnp.concatenate((h[:f], h_neighbour), axis=1),
-                 jnp.concatenate((mu[:f], mu_neighbour), axis=1)),
+        return ((jnp.concatenate((_self_rows(h, ls), h_neighbour), axis=1),
+                 jnp.concatenate((_self_rows(mu, ls), mu_neighbour),
+                                 axis=1)),
                 new_history)
 
     if isinstance(inputs, tuple):
@@ -223,8 +230,10 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
         new_history = (mu, var)
         if normalization == "gcn":
             return (mu_neighbour, var_neighbour), new_history
-        return ((jnp.concatenate((mu[:f], mu_neighbour), axis=1),
-                 jnp.concatenate((var[:f], var_neighbour), axis=1)),
+        return ((jnp.concatenate((_self_rows(mu, ls), mu_neighbour),
+                                 axis=1),
+                 jnp.concatenate((_self_rows(var, ls), var_neighbour),
+                                 axis=1)),
                 new_history)
 
     # plain CV (gcn/layers.py:350-362):
@@ -237,4 +246,5 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
         + full_neighborhood_mean(hist, graph, field_out,
                                  use_pallas=use_pallas, mesh=mesh)
     new_history = (inputs,)
-    return _self_concat(normalization, inputs[:f], a_neighbour), new_history
+    return (_self_concat(normalization, _self_rows(inputs, ls), a_neighbour),
+            new_history)

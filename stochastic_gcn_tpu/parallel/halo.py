@@ -142,9 +142,13 @@ def row_scatter(table: jax.Array, ids: jax.Array, rows: jax.Array,
     construction.  ``ids`` must be unique among real (non-sentinel) rows,
     as the scheduler's field compaction guarantees.
 
-    Fast path: sort local updates by owner chip, point-to-point
-    ``all_to_all`` of [P, cap, d] buckets, local masked scatter — per-chip
-    ICI bytes ≈ C·d·cap_mult/P vs the C·d of GSPMD's all-gather lowering.
+    Fast path: updates whose target row is OWNED BY THIS CHIP are applied
+    with a plain local scatter (no ICI, no capacity) — under owner-grouped
+    batching (``cfg.owner_batching``) that is most of them.  The remainder
+    are sorted by owner chip and sent point-to-point (``all_to_all`` of
+    [P, cap, d] buckets) — per-chip ICI bytes ≈ C·d·cap_mult/P vs the C·d
+    of GSPMD's all-gather lowering, and the capacity budget is spent on
+    remote rows only.
     """
     if not halo_tiles(table, ids, mesh) or ids.shape[0] < mesh.devices.size:
         return (table.at[ids].set(rows.astype(table.dtype)),
@@ -159,8 +163,17 @@ def row_scatter(table: jax.Array, ids: jax.Array, rows: jax.Array,
     d = rows.shape[-1]
 
     def body(t_loc, ids_loc, rows_loc):
+        me = jax.lax.axis_index(axis)
         safe = jnp.minimum(ids_loc.astype(jnp.int32), r_tot - 1)
         owner = safe // n_loc
+        mine = owner == me
+        # self rows: local scatter, never capacity-bounded or dropped
+        tgt_self = jnp.where(mine, safe - me * n_loc, n_loc)
+        t_loc = t_loc.at[tgt_self].set(rows_loc.astype(t_loc.dtype),
+                                       mode="drop")
+        # remote rows ride the all_to_all; push self rows past every
+        # destination so the owner-sort parks them outside [starts, ends)
+        owner = jnp.where(mine, p, owner)
         order = jnp.argsort(owner)
         sids = jnp.take(safe, order)
         srows = jnp.take(rows_loc, order, axis=0)

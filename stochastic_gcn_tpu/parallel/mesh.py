@@ -222,6 +222,49 @@ def make_sharded_eval_epoch(cfg, spec, degrees: Tuple[int, ...],
     )
 
 
+def shard_rows(num_nodes: int, dp: int) -> int:
+    """Rows of the row-sharded history tables ([N+1] padded to a multiple
+    of max(8, dp) — models/gcn.py::init_histories) — the layout that
+    defines node ownership: node v is owned by chip v // (rows/dp)."""
+    m = max(8, dp)
+    return -(-(num_nodes + 1) // m) * m
+
+
+def owner_grouped_batch_matrix(ids, batch_size: int, num_nodes: int,
+                               dp: int) -> np.ndarray:
+    """[S, B] epoch batch matrix with partition-aware slot assignment
+    (cfg.owner_batching).
+
+    The matrix is sharded P(None, 'data') along B, so chip q executes
+    columns [q·B/P, (q+1)·B/P) of every step.  Those slots are filled
+    with ids whose history/graph rows chip q owns (contiguous-block
+    row-sharding), making the batch field's history reads and writes
+    chip-local; ids overflowing their owner's slot budget spill into
+    other chips' free slots so each id still appears EXACTLY once per
+    epoch (the reference's epoch-coverage contract, train.py:181-190).
+    Remaining free slots hold the sentinel ``num_nodes``.  ``ids`` should
+    arrive epoch-shuffled; grouping makes batches owner-stratified
+    samples rather than uniform draws (documented deviation).
+    """
+    ids = np.asarray(ids, np.int32)
+    n_loc = shard_rows(num_nodes, dp) // dp
+    b_loc = batch_size // dp
+    s = max(1, -(-len(ids) // batch_size))
+    out = np.full((s, dp, b_loc), num_nodes, np.int32)
+    owner = np.minimum(ids // n_loc, dp - 1)
+    spill = []
+    for q in range(dp):
+        mine = ids[owner == q]
+        take = mine[:s * b_loc]
+        spill.append(mine[s * b_loc:])
+        out[:, q, :].flat[:len(take)] = take
+    spill = np.concatenate(spill)
+    flat = out.reshape(s * batch_size)
+    free = np.flatnonzero(flat == num_nodes)
+    flat[free[:len(spill)]] = spill
+    return out.reshape(s, batch_size)
+
+
 def pad_batch_for_mesh(batch: np.ndarray, n_devices: int,
                        num_nodes: int) -> np.ndarray:
     """Pad a batch so its length divides the mesh size (sentinel padding)."""

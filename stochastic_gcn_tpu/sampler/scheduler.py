@@ -56,11 +56,17 @@ class LayerSample:
       slot_aw:  [F_out, k] f32   — a_uv * w_uv cross-term weights (madj,
                 scheduler.cpp:163-164); zeros-shaped only when requested.
       scales:   [F_out] f32      — 1/sqrt(deg/k_eff) (scheduler.cpp:132-134).
+      self_pos: [F_out] int32    — position of each OUTPUT-field node inside
+                the input field.  None under the classic prefix layout
+                (where it is trivially arange(F_out)); set by the
+                owner-aligned layout (compact_field_aligned), where the
+                output field is NOT a prefix of the input field.
     """
     slot_pos: jax.Array
     slot_w: jax.Array
     slot_aw: Optional[jax.Array]
     scales: jax.Array
+    self_pos: Optional[jax.Array] = None
 
 
 @jax.tree_util.register_dataclass
@@ -256,18 +262,90 @@ def compact_field(field_out: jax.Array, new_ids: jax.Array, num_nodes: int,
     return field_in, pos_table
 
 
+def compact_field_aligned(field_out: jax.Array, new_ids: jax.Array,
+                          num_nodes: int, capacity: int, owner_blocks: int):
+    """Owner-ALIGNED variant of :func:`compact_field` (cfg.owner_batching).
+
+    Positions are divided into ``owner_blocks`` equal blocks of
+    ``capacity/P``; block q holds the field ids OWNED by chip q's history
+    shard (contiguous-id row-sharding, parallel/mesh.py::shard_rows), in
+    ascending id order, sentinel-padded.  Because sharded tensors split
+    into positional chunks of F/P per chip, this makes every chip's chunk
+    of the field (and of everything laid out on field positions: history
+    update rows, delta-gather requests) consist of rows that chip OWNS —
+    the halo scatter's self-bypass then applies them locally and the
+    cross-chip history traffic collapses to the spill.
+
+    Ids overflowing their owner's block spill into other blocks' free
+    slots (remote but correct — never dropped), so the field content is
+    the same id SET as the classic layout; only positions differ.  The
+    output field is NOT a prefix of the input field here — consumers use
+    ``LayerSample.self_pos`` instead of ``[:F_out]``.
+
+    Cost: 3 O(N) cumsum/elementwise passes vs the classic 1 — wide O(N)
+    passes are bandwidth-trivial on TPU (see compact_field's design note).
+    """
+    n = num_nodes
+    p = owner_blocks
+    cap_b = capacity // p
+    from ..parallel.mesh import shard_rows
+    n_loc = shard_rows(n, p) // p
+
+    present = (jnp.zeros(n + 1, bool)
+               .at[field_out].set(True)
+               .at[new_ids.reshape(-1)].set(True)
+               .at[n].set(False))
+    cum = jnp.cumsum(present.astype(jnp.int32))      # inclusive id ranks
+    # present-id count before each ownership block (last block runs to n)
+    edges = jnp.minimum(jnp.arange(1, p) * n_loc - 1, n)
+    cnt_before = jnp.concatenate(
+        [jnp.zeros(1, cum.dtype), cum[edges], cum[-1:]])        # [p+1]
+    count_q = cnt_before[1:] - cnt_before[:-1]
+    used_q = jnp.minimum(count_q, cap_b)
+
+    s = jnp.arange(capacity, dtype=jnp.int32)
+    qs = s // cap_b
+    r = s % cap_b
+    main_ok = r < used_q[qs]
+    # slot (q, r) holds the (cnt_before[q] + r + 1)-th present id
+    want = cnt_before[qs] + r + 1
+    main_id = jnp.minimum(
+        jnp.searchsorted(cum, want, side="left"), n).astype(jnp.int32)
+
+    # overflow ids (within-block rank past the block cap) -> free slots
+    own = jnp.minimum(jnp.arange(n + 1, dtype=jnp.int32) // n_loc, p - 1)
+    rank_within = cum - cnt_before[own]
+    ov = present & (rank_within > cap_b)
+    cum_ov = jnp.cumsum(ov.astype(jnp.int32))
+    free = ~main_ok
+    freerank = jnp.cumsum(free.astype(jnp.int32))    # 1-based among frees
+    ov_id = jnp.minimum(
+        jnp.searchsorted(cum_ov, freerank, side="left"), n).astype(jnp.int32)
+    fill = free & (freerank <= cum_ov[-1])
+
+    field_in = jnp.where(main_ok, main_id, jnp.where(fill, ov_id, n))
+    pos_table = jnp.zeros(n + 1, jnp.int32).at[field_in].set(s)
+    return field_in, pos_table
+
+
 def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
              degrees: Sequence[int], cv: bool, need_aw: bool = False,
              importance: Optional[jax.Array] = None,
              round_multiple: int = 1, mesh=None,
              is_approx_topk: bool = True,
-             is_recall_target: float = 0.95) -> BatchFields:
+             is_recall_target: float = 0.95,
+             owner_blocks: int = 0) -> BatchFields:
     """Build the full receptive field for one minibatch.
 
     Equivalent of ``PyScheduler.batch`` (gcn/_scheduler.pyx:55-127): expands
     top-down with ``degrees[L-1], ..., degrees[0]`` then returns everything
     input-side-first.  ``batch_ids`` must be [batch_size] int32, sentinel
     (``N``)-padded, with unique real ids.
+
+    ``owner_blocks > 1`` selects the owner-aligned field layout
+    (compact_field_aligned + LayerSample.self_pos) used with
+    ``cfg.owner_batching`` on a mesh; the sampled-edge SET is identical to
+    the classic layout, only field positions differ.
 
     Runs entirely on device; intended to be called inside jit.
     """
@@ -291,14 +369,21 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
                 approx_topk=is_approx_topk,
                 recall_target=is_recall_target)
             slot_aw = None
-            field_in, pos_table = compact_field(field, sel_ids, n, cap)
+            cand = sel_ids
         else:
             nbr_id, slot_w, slot_aw, scales = expand_uniform(
                 sub, graph, field, degree, need_aw, mesh=mesh)
-            field_in, pos_table = compact_field(field, nbr_id, n, cap)
+            cand = nbr_id
+        if owner_blocks > 1:
+            field_in, pos_table = compact_field_aligned(field, cand, n, cap,
+                                                        owner_blocks)
+            self_pos = pos_table[field]
+        else:
+            field_in, pos_table = compact_field(field, cand, n, cap)
+            self_pos = None
         layer_samples.append(LayerSample(
             slot_pos=pos_table[nbr_id], slot_w=slot_w, slot_aw=slot_aw,
-            scales=scales))
+            scales=scales, self_pos=self_pos))
         fields.append(field_in)
         field = field_in
 

@@ -65,6 +65,18 @@ class Trainer:
             # (scheduler.cpp:63-122 emits no medg_w before returning)
             raise ValueError(
                 "--det_dropout is incompatible with --importance")
+        if cfg.partition_nodes != "none":
+            # locality-improving node relabeling so contiguous-block
+            # row-sharding keeps most receptive-field rows on their batch
+            # node's owner chip (pairs with --owner_batching); pure
+            # permutation — semantics unchanged
+            from ..data.preprocess import locality_permutation, \
+                relabel_dataset
+            self.node_perm = locality_permutation(ds.full_adj,
+                                                  cfg.partition_nodes)
+            ds = relabel_dataset(ds, self.node_perm)
+        else:
+            self.node_perm = None
         self.cfg = cfg
         self.ds = ds
         n = ds.num_data
@@ -222,6 +234,15 @@ class Trainer:
         out[:len(ids)] = ids
         return out.reshape(s, batch_size)
 
+    def _epoch_matrix(self, ids, batch_size: int):
+        """Epoch batch matrix; partition-aware slot assignment under
+        --owner_batching (parallel/mesh.py::owner_grouped_batch_matrix)."""
+        if self.cfg.owner_batching and self.mesh is not None:
+            from ..parallel.mesh import owner_grouped_batch_matrix
+            return owner_grouped_batch_matrix(ids, batch_size,
+                                              self.ds.num_data, self.cfg.dp)
+        return self._batch_matrix(ids, batch_size, self.ds.num_data)
+
     def train_epoch(self):
         """One epoch as a single on-device scan (train.py:181-209 role).
 
@@ -230,8 +251,7 @@ class Trainer:
         cfg = self.cfg
         self.train_iter.shuffle()
         t0 = time.time()
-        bm = self._batch_matrix(self.train_iter.data, cfg.batch_size,
-                                self.ds.num_data)
+        bm = self._epoch_matrix(self.train_iter.data, cfg.batch_size)
         self.state, metrics = self._train_epoch(
             self.state, self.graph_train, self.train_features, self.labels,
             self.importance_train, jnp.asarray(bm), self._next_key())
@@ -267,7 +287,7 @@ class Trainer:
         t0 = time.time()
         n = self.ds.num_data
         data_ids = np.asarray(data_ids, np.int32)
-        bm = self._batch_matrix(data_ids, cfg.test_batch_size, n)
+        bm = self._epoch_matrix(data_ids, cfg.test_batch_size)
         self.eval_histories, out = self._eval_epoch(
             self._eval_params(), self.eval_histories, self.graph_full,
             self.test_features, self.labels, self.importance_test,

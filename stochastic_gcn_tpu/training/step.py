@@ -196,6 +196,9 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
     (sharded variants live in parallel/mesh.py)."""
     tx = make_optimizer(cfg)
     use_importance = cfg.importance
+    # owner-aligned field layout: every chip's positional chunk of each
+    # field holds the node rows that chip owns (see compact_field_aligned)
+    owner_blocks = cfg.dp if (cfg.owner_batching and mesh is not None) else 0
 
     def _step(state: TrainState, graph: PaddedGraph, features, labels,
               importance, batch_ids, key):
@@ -206,7 +209,8 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
                         importance=importance if use_importance else None,
                         round_multiple=cfg.dp, mesh=mesh,
                         is_approx_topk=cfg.is_approx_topk,
-                        is_recall_target=cfg.is_recall_target)
+                        is_recall_target=cfg.is_recall_target,
+                        owner_blocks=owner_blocks)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = _labels_gather(labels, batch_field, mesh)
@@ -302,6 +306,7 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
     returns per-batch losses/accuracies and stacked predictions with ONE
     host sync (train.py:133-160 equivalent)."""
     use_importance = cfg.test_importance
+    owner_blocks = cfg.dp if (cfg.owner_batching and mesh is not None) else 0
 
     def _eval_one(params, histories, graph, features, labels, importance,
                   batch_ids, key):
@@ -311,7 +316,8 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
                         importance=importance if use_importance else None,
                         round_multiple=cfg.dp, mesh=mesh,
                         is_approx_topk=cfg.is_approx_topk,
-                        is_recall_target=cfg.is_recall_target)
+                        is_recall_target=cfg.is_recall_target,
+                        owner_blocks=owner_blocks)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = _labels_gather(labels, batch_field, mesh)

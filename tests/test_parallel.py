@@ -317,3 +317,94 @@ def test_halo_exchange_matches_gspmd(setup):
                     jax.tree_util.tree_leaves(s_one.histories)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_owner_grouped_batch_matrix():
+    """Partition-aware batch assignment (cfg.owner_batching): every id
+    appears exactly once per epoch, and ids land in their owner chip's
+    column block whenever their owner has free slots."""
+    from stochastic_gcn_tpu.parallel.mesh import (owner_grouped_batch_matrix,
+                                                  shard_rows)
+    n, p, bs = 1000, 8, 64
+    rng = np.random.default_rng(0)
+    ids = rng.permutation(n)[:600].astype(np.int32)
+    bm = owner_grouped_batch_matrix(ids, bs, n, p)
+    s = -(-len(ids) // bs)
+    assert bm.shape == (s, bs)
+    real = bm[bm < n]
+    assert sorted(real.tolist()) == sorted(ids.tolist())  # exactly once
+    # locality: ids in their owner's columns unless the owner overflowed
+    n_loc = shard_rows(n, p) // p
+    b_loc = bs // p
+    blocks = bm.reshape(s, p, b_loc)
+    local = spilled = 0
+    for q in range(p):
+        blk = blocks[:, q, :]
+        blk = blk[blk < n]
+        owners = np.minimum(blk // n_loc, p - 1)
+        local += int((owners == q).sum())
+        spilled += int((owners != q).sum())
+    counts = np.bincount(np.minimum(ids // n_loc, p - 1), minlength=p)
+    expected_spill = int(np.maximum(counts - s * b_loc, 0).sum())
+    assert spilled == expected_spill
+    assert local == len(ids) - expected_spill
+
+
+def test_row_scatter_all_local_zero_drops():
+    """Updates whose rows the holding chip owns bypass the all_to_all
+    capacity entirely: a fully chip-local scatter never drops even at a
+    capacity multiplier that would drop most rows if they rode the
+    collective."""
+    from stochastic_gcn_tpu.parallel.halo import row_scatter
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(5)
+    r, d, c = 64 * n_dev, 4, 32 * n_dev
+    n_loc, c_loc = r // n_dev, c // n_dev
+    table = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32))
+    # chip q's id slice [q*c_loc:(q+1)*c_loc] targets rows chip q owns
+    ids = np.concatenate([
+        q * n_loc + rng.permutation(n_loc)[:c_loc] for q in range(n_dev)])
+    ids = jnp.asarray(ids, dtype=jnp.int32)
+    rows = jnp.asarray(rng.normal(size=(c, d)).astype(np.float32))
+    out, dropped = jax.jit(
+        lambda t, i, x: row_scatter(t, i, x, mesh, cap_mult=0.01)
+    )(table, ids, rows)
+    assert int(dropped) == 0
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(table.at[ids].set(rows)),
+                               rtol=1e-6)
+
+
+def test_partition_nodes_relabel_preserves_eval(setup):
+    """--partition_nodes rcm is a pure relabeling: with identical params
+    (same init key, shape-only dependence) the exact-mode forward metrics
+    match the unrelabeled run."""
+    cfg, ds = setup
+    exact = cfg.replace(degree=128, test_degree=128, cv=False,
+                        test_cv=False, dropout=0.0)
+    t0 = Trainer(exact, ds)
+    t1 = Trainer(exact.replace(partition_nodes="rcm"), ds)
+    l0, a0, mi0, ma0, _ = t0.evaluate(ds.val_d)
+    # relabeled trainer evaluates the RELABELED val ids (its own ds)
+    l1, a1, mi1, ma1, _ = t1.evaluate(t1.ds.val_d)
+    assert a0 == pytest.approx(a1, abs=1e-6)
+    assert l0 == pytest.approx(l1, rel=1e-5)
+    assert mi0 == pytest.approx(mi1, abs=1e-6)
+
+
+def test_trainer_owner_batching_end_to_end(setup):
+    """dp=8 + owner_batching + partition_nodes trains and evaluates; the
+    epoch matrix covers every train id exactly once."""
+    cfg, ds = setup
+    n_dev = len(jax.devices())
+    cfg = cfg.replace(dp=n_dev, owner_batching=True, partition_nodes="rcm",
+                      batch_size=32, test_batch_size=32)
+    tr = Trainer(cfg, ds)
+    bm = tr._epoch_matrix(tr.train_iter.data, cfg.batch_size)
+    real = bm[bm < ds.num_data]
+    assert sorted(real.tolist()) == sorted(tr.train_iter.data.tolist())
+    loss, acc, _, _ = tr.train_epoch()
+    assert np.isfinite(loss)
+    vloss, vacc, _, _, _ = tr.evaluate(tr.ds.val_d)
+    assert np.isfinite(vloss) and 0.0 <= vacc <= 1.0

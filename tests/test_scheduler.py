@@ -213,3 +213,81 @@ def test_minibatch_iterator_epoch():
         seen.extend(b[b < 100].tolist())
     assert batches == 3
     assert sorted(seen) == list(range(25))
+
+
+def test_compact_field_aligned_semantics(small):
+    """compact_field_aligned: same id SET as the classic compaction, unique
+    positions, non-overflow ids inside their owner's position block,
+    pos_table consistent, and skewed blocks spill without losing ids."""
+    from stochastic_gcn_tpu.parallel.mesh import shard_rows
+    from stochastic_gcn_tpu.sampler.scheduler import (compact_field,
+                                                      compact_field_aligned)
+    ds, g = small
+    n = ds.num_data
+    p = 4
+    rng = np.random.default_rng(7)
+    field_out = jnp.asarray(
+        np.concatenate([rng.permutation(n)[:12], [n, n]]).astype(np.int32))
+    new_ids = jnp.asarray(rng.integers(0, n, size=(14, 3)), dtype=jnp.int32)
+    cap = 48  # multiple of p
+    fa, pta = jax.jit(compact_field_aligned, static_argnums=(2, 3, 4))(
+        field_out, new_ids, n, cap, p)
+    fc, _ = jax.jit(compact_field, static_argnums=(2, 3))(
+        field_out, new_ids, n, cap)
+    fa, pta, fc = np.asarray(fa), np.asarray(pta), np.asarray(fc)
+    real_a, real_c = fa[fa < n], fc[fc < n]
+    assert set(real_a.tolist()) == set(real_c.tolist())
+    assert len(real_a) == len(set(real_a.tolist()))  # unique positions
+    # block membership (up to overflow spill)
+    n_loc = shard_rows(n, p) // p
+    cap_b = cap // p
+    holders = np.arange(cap) // cap_b
+    owners = np.minimum(fa // n_loc, p - 1)
+    counts = np.bincount(np.minimum(real_a // n_loc, p - 1), minlength=p)
+    expected_remote = int(np.maximum(counts - cap_b, 0).sum())
+    remote = int(((holders != owners) & (fa < n)).sum())
+    assert remote == expected_remote
+    # pos_table inverts the field
+    for s, v in enumerate(fa):
+        if v < n:
+            assert pta[v] == s
+    # skew: every id in block 0, capacity binds -> all spill, none lost
+    skew_ids = jnp.asarray(np.arange(min(3 * cap_b, n_loc), dtype=np.int32))
+    fs, _ = compact_field_aligned(
+        jnp.full((4,), n, jnp.int32), skew_ids, n, cap, p)
+    fs = np.asarray(fs)
+    assert set(fs[fs < n].tolist()) == set(np.asarray(skew_ids).tolist())
+
+
+def test_schedule_owner_aligned_edge_parity(small):
+    """With the same PRNG key, the owner-aligned layout samples the SAME
+    edge set (src, dst, weight) as the classic layout — only field
+    positions differ (single agg layer: expansion iterates the batch field,
+    which is identical in both modes)."""
+    ds, g = small
+    n = ds.num_data
+    batch = jnp.asarray(np.arange(16, dtype=np.int32))
+
+    def edges(pack):
+        f_in = np.asarray(pack.fields[0])
+        ls = pack.layers[0]
+        pos = np.asarray(ls.slot_pos)
+        w = np.asarray(ls.slot_w)
+        out = set()
+        for i in range(pos.shape[0]):
+            for k in range(pos.shape[1]):
+                if w[i, k] != 0.0:
+                    out.add((i, int(f_in[pos[i, k]]), float(w[i, k])))
+        return out
+
+    key = jax.random.PRNGKey(11)
+    pc = schedule(key, g, batch, (2,), cv=True, round_multiple=4)
+    pa = schedule(key, g, batch, (2,), cv=True, round_multiple=4,
+                  owner_blocks=4)
+    assert np.array_equal(np.asarray(pc.fields[-1]),
+                          np.asarray(pa.fields[-1]))
+    assert edges(pc) == edges(pa)
+    # self_pos maps output nodes to their input-field positions
+    f_in = np.asarray(pa.fields[0])
+    sp = np.asarray(pa.layers[0].self_pos)
+    np.testing.assert_array_equal(f_in[sp], np.asarray(batch))
