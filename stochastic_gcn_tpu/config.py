@@ -104,6 +104,12 @@ class Config:
     is_recall_target: float = 0.95
     # Number of devices along the data-parallel mesh axis (1 = single chip).
     dp: int = 1
+    # Devices along a tensor-parallel 'model' mesh axis (total chips =
+    # dp * tp).  Dense weights/norm params shard their hidden dimension
+    # Megatron-style, histories shard [node, hidden] over (data, model) —
+    # for very wide hidden dims (SURVEY.md §2.3); the reference is
+    # single-GPU.  1 = off.
+    tp: int = 1
     # Host count of the dp mesh: the 'data' axis is built host-major over a
     # (dp_hosts, dp/dp_hosts) grid (jax.distributed device order), so each
     # host owns a contiguous block of sharded node rows and halo exchanges

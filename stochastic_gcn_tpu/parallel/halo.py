@@ -40,12 +40,20 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 
+def data_axis_size(mesh) -> int:
+    """Chips along the node-sharding ('data') axis — the FIRST mesh axis.
+    Distinct from mesh.devices.size on 2-D (data, model) meshes (--tp)."""
+    return mesh.shape[mesh.axis_names[0]]
+
+
 def halo_tiles(table: jax.Array, ids: jax.Array, mesh) -> bool:
-    """True when the owner-routed lowering applies: >1 device and both the
-    table rows and the request count tile evenly over the mesh axis."""
-    return (mesh is not None and mesh.devices.size > 1
-            and ids.shape[0] % mesh.devices.size == 0
-            and table.shape[0] % mesh.devices.size == 0)
+    """True when the owner-routed lowering applies: >1 chip along the data
+    axis and both the table rows and the request count tile evenly over
+    it."""
+    if mesh is None:
+        return False
+    p = data_axis_size(mesh)
+    return (p > 1 and ids.shape[0] % p == 0 and table.shape[0] % p == 0)
 
 
 def owner_routed(table: jax.Array, ids: jax.Array, extras, partial_fn, mesh):
@@ -74,8 +82,11 @@ def owner_routed(table: jax.Array, ids: jax.Array, extras, partial_fn, mesh):
 
     id_spec = P(axis) if ids.ndim == 1 else P(axis, None)
     specs = (P(axis, None), id_spec) + tuple(P(axis, None) for _ in extras)
+    # axis_names={axis}: only the data axis is manual — on a 2-D
+    # (data, model) mesh (--tp) the model axis stays auto/GSPMD-managed
     return shard_map(body, mesh=mesh, in_specs=specs,
-                     out_specs=P(axis, None))(table, ids, *extras)
+                     out_specs=P(axis, None),
+                     axis_names={axis})(table, ids, *extras)
 
 
 def row_gather(table: jax.Array, ids: jax.Array, mesh=None) -> jax.Array:
@@ -150,7 +161,8 @@ def row_scatter(table: jax.Array, ids: jax.Array, rows: jax.Array,
     of GSPMD's all-gather lowering, and the capacity budget is spent on
     remote rows only.
     """
-    if not halo_tiles(table, ids, mesh) or ids.shape[0] < mesh.devices.size:
+    if not halo_tiles(table, ids, mesh) \
+            or ids.shape[0] < data_axis_size(mesh):
         return (table.at[ids].set(rows.astype(table.dtype)),
                 jnp.zeros((), jnp.int32))
 
@@ -201,5 +213,6 @@ def row_scatter(table: jax.Array, ids: jax.Array, rows: jax.Array,
     out, dropped = shard_map(
         body, mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(axis, None)),
-        out_specs=(P(axis, None), P()))(table, ids, rows)
+        out_specs=(P(axis, None), P()),
+        axis_names={axis})(table, ids, rows)
     return out, dropped

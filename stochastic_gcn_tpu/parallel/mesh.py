@@ -26,8 +26,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_devices: Optional[int] = None,
               axis_name: str = "data",
-              hosts: int = 1) -> Mesh:
-    """1-D ('data',) mesh over the first ``n_devices`` devices.
+              hosts: int = 1,
+              tp: int = 1) -> Mesh:
+    """('data',) mesh over the first ``n_devices`` devices, or a 2-D
+    ('data', 'model') mesh when ``tp > 1`` (``n_devices`` then counts the
+    data axis; total chips = n_devices * tp).  The model axis is innermost
+    (adjacent chips) so tensor-parallel collectives ride the shortest ICI
+    hops; every halo helper keys off the FIRST axis and leaves 'model'
+    auto (parallel/halo.py::data_axis_size).
 
     ``hosts`` declares a (hosts, n_devices/hosts) grid flattened
     HOST-MAJOR: all chips of host 0 first, then host 1, ... — the order
@@ -42,11 +48,12 @@ def make_mesh(n_devices: Optional[int] = None,
     code runs unchanged.
     """
     devices = jax.devices()
-    if n_devices is not None:
-        if len(devices) < n_devices:
+    total = None if n_devices is None else n_devices * tp
+    if total is not None:
+        if len(devices) < total:
             raise ValueError(
-                f"requested {n_devices} devices, have {len(devices)}")
-        devices = devices[:n_devices]
+                f"requested {total} devices, have {len(devices)}")
+        devices = devices[:total]
     if hosts > 1:
         if len(devices) % hosts:
             raise ValueError(
@@ -59,6 +66,12 @@ def make_mesh(n_devices: Optional[int] = None,
             devices = [d for _, d in sorted(
                 enumerate(devices), key=lambda t: (procs[t[0]], t[0]))]
         del per
+    if tp > 1:
+        if len(devices) % tp:
+            raise ValueError(f"{len(devices)} devices do not tile over "
+                             f"tp={tp}")
+        grid = np.asarray(devices).reshape(len(devices) // tp, tp)
+        return Mesh(grid, (axis_name, "model"))
     return Mesh(np.asarray(devices), (axis_name,))
 
 
@@ -94,7 +107,7 @@ def data_shardings(mesh: Mesh, data, shard_graph: bool):
     repl = replicated(mesh)
     if not shard_graph:
         return jtu.tree_map(lambda _: repl, data)
-    p = mesh.devices.size
+    p = dict(mesh.shape)["data"]   # rows shard over the data axis only
     rs = row_sharded(mesh)
 
     def rule(x):
@@ -103,20 +116,54 @@ def data_shardings(mesh: Mesh, data, shard_graph: bool):
     return jtu.tree_map(rule, data)
 
 
+def param_sharding_rule(mesh: Mesh):
+    """Per-leaf tensor-parallel sharding rule (SURVEY.md §2.3 'optional
+    (model) axis for very wide hidden dims').
+
+    On a ('data', 'model') mesh: matrices shard their OUTPUT (hidden)
+    dimension over 'model' — Megatron-style column parallelism for Dense
+    weights [in, out]; 1-D offset/scale vectors shard likewise so each
+    chip holds the norm params of its own hidden columns.  Leaves whose
+    dims don't tile over the model axis (e.g. the [H, num_classes] output
+    head with a small class count) stay replicated; GSPMD inserts the
+    boundary collectives.  On a 1-D mesh everything is replicated."""
+    repl = replicated(mesh)
+    tp = dict(mesh.shape).get("model", 1)
+
+    def rule(x):
+        nd = getattr(x, "ndim", 0)
+        if tp > 1 and nd == 2 and x.shape[1] % tp == 0:
+            return NamedSharding(mesh, P(None, "model"))
+        if tp > 1 and nd == 1 and x.shape[0] % tp == 0:
+            return NamedSharding(mesh, P("model"))
+        return repl
+    return rule
+
+
 def state_shardings(mesh: Mesh, state, shard_history: bool):
-    """Sharding pytree matching a TrainState: params/opt replicated,
-    histories optionally row-sharded along the node dimension."""
+    """Sharding pytree matching a TrainState: params/opt replicated over
+    'data' (tp-sharded over 'model' when present — see
+    :func:`param_sharding_rule`), histories row-sharded along the node
+    dimension (column-sharded over 'model' too when it tiles)."""
     import jax.tree_util as jtu
     from ..training.step import TrainState
 
     repl = replicated(mesh)
-    hist_sh = row_sharded(mesh) if shard_history else repl
+    prule = param_sharding_rule(mesh)
+    tp = dict(mesh.shape).get("model", 1)
+
+    def hrule(x):
+        if not shard_history:
+            return repl
+        if tp > 1 and x.ndim == 2 and x.shape[1] % tp == 0:
+            return NamedSharding(mesh, P("data", "model"))
+        return row_sharded(mesh)
     return TrainState(
-        params=jtu.tree_map(lambda _: repl, state.params),
-        opt_state=jtu.tree_map(lambda _: repl, state.opt_state),
-        histories=jtu.tree_map(lambda _: hist_sh, state.histories),
+        params=jtu.tree_map(prule, state.params),
+        opt_state=jtu.tree_map(prule, state.opt_state),
+        histories=jtu.tree_map(hrule, state.histories),
         step=repl,
-        avg_params=jtu.tree_map(lambda _: repl, state.avg_params),
+        avg_params=jtu.tree_map(prule, state.avg_params),
     )
 
 
@@ -197,15 +244,26 @@ def make_sharded_eval_epoch(cfg, spec, degrees: Tuple[int, ...],
                             num_nodes: int, mesh: Mesh, hist_template,
                             shard_history: bool = False,
                             data_template=None,
-                            shard_graph: bool = False):
+                            shard_graph: bool = False,
+                            params_template=None):
     import jax.tree_util as jtu
     from ..training.step import build_eval_epoch
 
     repl = replicated(mesh)
+    # eval consumes the train-side params in their training layout
+    # (tp-sharded over 'model' when present)
+    p_sh = jtu.tree_map(param_sharding_rule(mesh), params_template) \
+        if params_template is not None else repl
     bm_sh = NamedSharding(mesh, P(None, "data"))
-    hist_sh = jtu.tree_map(
-        lambda _: row_sharded(mesh) if shard_history else repl,
-        hist_template)
+    tp = dict(mesh.shape).get("model", 1)
+
+    def hrule(x):
+        if not shard_history:
+            return repl
+        if tp > 1 and x.ndim == 2 and x.shape[1] % tp == 0:
+            return NamedSharding(mesh, P("data", "model"))
+        return row_sharded(mesh)
+    hist_sh = jtu.tree_map(hrule, hist_template)
     halo = mesh if (cfg.halo_exchange and (shard_history or shard_graph)) \
         else None
     inner = build_eval_epoch(cfg, spec, degrees, num_nodes, mesh=halo)
@@ -216,7 +274,7 @@ def make_sharded_eval_epoch(cfg, spec, degrees: Tuple[int, ...],
         g_sh = f_sh = l_sh = repl
     return jax.jit(
         inner,
-        in_shardings=(repl, hist_sh, g_sh, f_sh, l_sh, repl, bm_sh, repl),
+        in_shardings=(p_sh, hist_sh, g_sh, f_sh, l_sh, repl, bm_sh, repl),
         out_shardings=(hist_sh, repl),
         donate_argnums=(1,),
     )

@@ -54,7 +54,7 @@ def to_device_features(cfg: Config, feats, num_nodes: int):
 
 class Trainer:
     def __init__(self, cfg: Config, ds: Dataset):
-        if cfg.use_pallas and cfg.dp > 1:
+        if cfg.use_pallas and (cfg.dp > 1 or cfg.tp > 1):
             # the halo-exchange lowering would silently take precedence
             # over the Pallas full-precision kernel (and the kernel cannot
             # read a row-sharded history) — refuse the combination
@@ -150,10 +150,12 @@ class Trainer:
                                              self.train_degrees, n)
         self._eval_step = S.make_eval_step(cfg, self.test_spec,
                                            self.test_degrees, n)
-        if cfg.dp > 1:
-            # data-parallel epoch runners over a ('data',) mesh: batch
-            # sharded, history rows sharded along the node dimension,
-            # params replicated with GSPMD gradient all-reduce
+        if cfg.dp > 1 or cfg.tp > 1:
+            # data-parallel epoch runners over a ('data',) mesh (2-D
+            # ('data', 'model') with --tp): batch sharded, history rows
+            # sharded along the node dimension (columns over 'model'),
+            # params replicated over 'data' with GSPMD gradient
+            # all-reduce (hidden-dim sharded over 'model')
             from ..data.graph import pad_features_rows, pad_graph_rows
             from ..data.graph import pad_table_rows, PaddedGraph
             from ..parallel.mesh import (data_shardings, make_mesh,
@@ -162,7 +164,8 @@ class Trainer:
                                          state_shardings)
             if cfg.batch_size % cfg.dp or cfg.test_batch_size % cfg.dp:
                 raise ValueError("batch sizes must divide --dp")
-            self.mesh = make_mesh(cfg.dp, hosts=cfg.dp_hosts)
+            self.mesh = make_mesh(cfg.dp, hosts=cfg.dp_hosts,
+                                  tp=cfg.tp)
             if cfg.shard_graph:
                 # row-pad every O(N) table so it tiles over the mesh, then
                 # shard it along the node dimension — per-chip HBM scales
@@ -188,7 +191,8 @@ class Trainer:
             self._eval_epoch = make_sharded_eval_epoch(
                 cfg, self.test_spec, self.test_degrees, n, self.mesh,
                 hist_template=self.eval_histories, shard_history=True,
-                data_template=eval_data, shard_graph=cfg.shard_graph)
+                data_template=eval_data, shard_graph=cfg.shard_graph,
+                params_template=self.state.params)
             self.state = jax.device_put(
                 self.state, state_shardings(self.mesh, self.state, True))
             if cfg.shard_graph:
