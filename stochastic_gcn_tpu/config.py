@@ -102,6 +102,14 @@ class Config:
     # exact top_k (reference-faithful ranking).
     is_approx_topk: bool = True
     is_recall_target: float = 0.95
+    # IS: hoist importance[graph.nbr] into a per-epoch [N, Dcap] row table
+    # (one row-window gather per step instead of F*Dcap element gathers).
+    # End-to-end A/B on TPU v5 lite (233k-node graph): -0.36 ms/step at
+    # batch 4096 but +0.14 ms at batch 512 — the step is not bound by this
+    # gather, so the hoist only pays at large batch.  Costs a transient
+    # [N, Dcap] f32 (+50% of the padded graph's HBM) during IS epochs;
+    # default off, enable for batch >= ~2k.
+    is_row_table: bool = False
     # Number of devices along the data-parallel mesh axis (1 = single chip).
     dp: int = 1
     # Devices along a tensor-parallel 'model' mesh axis (total chips =

@@ -160,11 +160,26 @@ def expand_uniform(key: jax.Array, graph: PaddedGraph, field_out: jax.Array,
     return nbr_id, slot_w, slot_aw, scales
 
 
+def importance_row_table(graph, importance: jax.Array):
+    """[N+1, Dcap] table of ``importance[graph.nbr]`` — the per-epoch hoist
+    of the IS path's per-slot importance lookup.  Inside the step the
+    lookup is then F row-window gathers instead of F·Dcap scalar-issue
+    element gathers.  Measured end-to-end on TPU v5 lite: -0.36 ms/step at
+    batch 4096, +0.14 ms at batch 512 (PERF.md "IS at Reddit scale") — only
+    pays at large batch, so off by default (--is_row_table).  Costs one
+    transient [N, Dcap] f32 for the epoch (+50% of the padded graph's HBM).
+    Padded-graph layout only (the edgelist path has no slot table)."""
+    if not isinstance(graph, PaddedGraph):
+        return None
+    return jnp.take(importance, graph.nbr, axis=0)
+
+
 def expand_importance(key: jax.Array, graph: PaddedGraph,
                       field_out: jax.Array, degree: int,
                       importance: jax.Array, mesh=None,
                       approx_topk: bool = True,
-                      recall_target: float = 0.95):
+                      recall_target: float = 0.95,
+                      importance_rows: Optional[jax.Array] = None):
     """Importance sampling over the neighbor union (scheduler.cpp:63-122).
 
     Samples ``n = min(|field|*degree, |union|)`` nodes from the union of
@@ -215,8 +230,14 @@ def expand_importance(key: jax.Array, graph: PaddedGraph,
     selected = jnp.zeros(n + 1, bool).at[sel_ids].set(True).at[n].set(False)
 
     tgt_sel = selected[rows_nbr] & valid
-    inv = total_imp / (importance[rows_nbr]
-                       * jnp.maximum(n_samples, 1.0))
+    if importance_rows is not None:
+        # per-epoch [N+1, Dcap] row table (importance_row_table): one
+        # row-window gather instead of F*Dcap element gathers
+        from ..parallel.halo import row_gather
+        imp_nbr = row_gather(importance_rows, field_out, mesh)
+    else:
+        imp_nbr = importance[rows_nbr]
+    inv = total_imp / (imp_nbr * jnp.maximum(n_samples, 1.0))
     slot_w = jnp.where(tgt_sel, rows_w * inv, 0.0)
     nbr_id = jnp.where(tgt_sel, rows_nbr, n)
     scales = jnp.ones((f,), jnp.float32)
@@ -334,7 +355,8 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
              round_multiple: int = 1, mesh=None,
              is_approx_topk: bool = True,
              is_recall_target: float = 0.95,
-             owner_blocks: int = 0) -> BatchFields:
+             owner_blocks: int = 0,
+             importance_rows: Optional[jax.Array] = None) -> BatchFields:
     """Build the full receptive field for one minibatch.
 
     Equivalent of ``PyScheduler.batch`` (gcn/_scheduler.pyx:55-127): expands
@@ -367,7 +389,8 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
             nbr_id, slot_w, scales, sel_ids = expand_importance(
                 sub, graph, field, degree, importance, mesh=mesh,
                 approx_topk=is_approx_topk,
-                recall_target=is_recall_target)
+                recall_target=is_recall_target,
+                importance_rows=importance_rows)
             slot_aw = None
             cand = sel_ids
         else:

@@ -201,7 +201,7 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
     owner_blocks = cfg.dp if (cfg.owner_batching and mesh is not None) else 0
 
     def _step(state: TrainState, graph: PaddedGraph, features, labels,
-              importance, batch_ids, key):
+              importance, batch_ids, key, importance_rows=None):
         k_sched, k_drop = jax.random.split(jax.random.fold_in(key,
                                                               state.step))
         pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
@@ -210,7 +210,8 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
                         round_multiple=cfg.dp, mesh=mesh,
                         is_approx_topk=cfg.is_approx_topk,
                         is_recall_target=cfg.is_recall_target,
-                        owner_blocks=owner_blocks)
+                        owner_blocks=owner_blocks,
+                        importance_rows=importance_rows)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = _labels_gather(labels, batch_field, mesh)
@@ -275,9 +276,16 @@ def build_train_epoch(cfg: Config, spec: M.ModelSpec,
 
     def _epoch(state: TrainState, graph, features, labels, importance,
                batch_matrix, key):
+        # per-epoch hoist of the IS importance row table (the scan body
+        # then does F row gathers instead of F*Dcap element gathers)
+        imp_rows = None
+        if cfg.importance and cfg.is_row_table:
+            from ..sampler.scheduler import importance_row_table
+            imp_rows = importance_row_table(graph, importance)
+
         def body(st, batch_ids):
             st, m = _step(st, graph, features, labels, importance,
-                          batch_ids, key)
+                          batch_ids, key, importance_rows=imp_rows)
             return st, (m["loss"], m["accuracy"], m["amt_data"],
                         m["field_sizes"], m["adj_sizes"], m["fadj_sizes"],
                         m["hist_dropped"])
@@ -309,7 +317,7 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
     owner_blocks = cfg.dp if (cfg.owner_batching and mesh is not None) else 0
 
     def _eval_one(params, histories, graph, features, labels, importance,
-                  batch_ids, key):
+                  batch_ids, key, importance_rows=None):
         k_sched, k_drop = jax.random.split(key)
         pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
                         need_aw=spec.det_dropout,
@@ -317,7 +325,8 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
                         round_multiple=cfg.dp, mesh=mesh,
                         is_approx_topk=cfg.is_approx_topk,
                         is_recall_target=cfg.is_recall_target,
-                        owner_blocks=owner_blocks)
+                        owner_blocks=owner_blocks,
+                        importance_rows=importance_rows)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = _labels_gather(labels, batch_field, mesh)
@@ -335,10 +344,16 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
 
     def _epoch(params, histories, graph, features, labels, importance,
                batch_matrix, key):
+        imp_rows = None
+        if use_importance and cfg.is_row_table:
+            from ..sampler.scheduler import importance_row_table
+            imp_rows = importance_row_table(graph, importance)
+
         def body(hist, xs):
             batch_ids, k = xs
             hist, out = _eval_one(params, hist, graph, features, labels,
-                                  importance, batch_ids, k)
+                                  importance, batch_ids, k,
+                                  importance_rows=imp_rows)
             return hist, out
 
         keys = jax.random.split(key, batch_matrix.shape[0])

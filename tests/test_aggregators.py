@@ -139,3 +139,34 @@ def test_full_neighborhood_mean(setup):
     expect2[mask] = a2.dot(hist[:n])[f[mask]]
     np.testing.assert_allclose(np.asarray(sq), expect2, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_ema_aggregate_matches_formula(setup):
+    """EMAAggregator math (gcn/layers.py:260-279):
+    Z = alpha * Â_samp·H + (1-alpha) * h̄[field_out]; new history = Z.
+    (Unused by the reference drivers but part of its op surface.)"""
+    ds, g, pack = setup
+    rng = np.random.default_rng(3)
+    c_in = pack.fields[0].shape[0]
+    f_out = pack.fields[1].shape[0]
+    h = rng.normal(size=(c_in, 8)).astype(np.float32)
+    hist = rng.normal(size=(ds.num_data + 1, 8)).astype(np.float32)
+    hist[-1] = 0.0
+    alpha = 0.7
+    out, (new_h,) = A.ema_aggregate(jnp.asarray(h), pack.layers[0],
+                                    pack.fields[0], (jnp.asarray(hist),),
+                                    alpha, "gcn")
+    dense = dense_sampled_adj(pack, 0, ds.num_data)
+    field_out = np.asarray(pack.fields[0])[:f_out]   # prefix invariant
+    expect = alpha * (dense @ h) + (1 - alpha) * hist[field_out]
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_h), expect, rtol=1e-4,
+                               atol=1e-5)
+    # graphsage norm concatenates the self rows
+    out2, _ = A.ema_aggregate(jnp.asarray(h), pack.layers[0],
+                              pack.fields[0], (jnp.asarray(hist),),
+                              alpha, "graphsage")
+    np.testing.assert_allclose(np.asarray(out2),
+                               np.concatenate([h[:f_out], expect], axis=1),
+                               rtol=1e-4, atol=1e-5)

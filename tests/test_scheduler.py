@@ -291,3 +291,26 @@ def test_schedule_owner_aligned_edge_parity(small):
     f_in = np.asarray(pa.fields[0])
     sp = np.asarray(pa.layers[0].self_pos)
     np.testing.assert_array_equal(f_in[sp], np.asarray(batch))
+
+
+def test_importance_row_table_equivalent(small):
+    """The per-epoch [N+1, Dcap] importance row table (cfg.is_row_table)
+    must produce bit-identical IS packs to the per-slot element-gather
+    path."""
+    from stochastic_gcn_tpu.sampler.scheduler import (compute_importance,
+                                                      importance_row_table)
+    ds, g = small
+    imp = compute_importance(g)
+    rows = importance_row_table(g, imp)
+    batch = jnp.asarray(np.arange(16, dtype=np.int32))
+    key = jax.random.PRNGKey(5)
+    p0 = schedule(key, g, batch, (2,), cv=True, importance=imp)
+    p1 = schedule(key, g, batch, (2,), cv=True, importance=imp,
+                  importance_rows=rows)
+    for f0, f1 in zip(p0.fields, p1.fields):
+        np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
+    for l0, l1 in zip(p0.layers, p1.layers):
+        np.testing.assert_array_equal(np.asarray(l0.slot_pos),
+                                      np.asarray(l1.slot_pos))
+        np.testing.assert_allclose(np.asarray(l0.slot_w),
+                                   np.asarray(l1.slot_w), rtol=0, atol=0)
