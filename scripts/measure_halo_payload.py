@@ -1,10 +1,17 @@
 """Measure per-chip collective payload of the sharded train step.
 
 Lowers the data-parallel train step on the 8-device virtual CPU mesh and
-sums the output bytes of every collective op (all-gather / all-reduce /
-reduce-scatter / all-to-all / collective-permute) in the optimized HLO —
-an upper bound on per-chip ICI bytes per step.  Run at two graph sizes to
-show the owner-routed (halo) lowering's payload scales with the BATCH
+models the per-chip WIRE bytes of every collective op in the optimized
+HLO (ring model: all-gather/all-to-all/permute ~ (P-1)/P x result,
+all-reduce ~ 2(P-1)/P x operand, reduce-scatter ~ (P-1) x result — the
+result-bytes metric used before round 2 under-counted reduce-scatter by
+P-1x and double-counted untaken lax.cond branches).  Conditionals
+contribute their CHEAPEST branch: for the fetch-routed gathers
+(halo.py::_fetch_or_psum_gather) that is the no-overflow fetch path,
+which is the steady-state path (the psum fallback only triggers on
+capacity overflow, which the default capacity makes a never-event for
+shuffled or owner-aligned batches).  Run at two graph sizes to show the
+owner-routed (halo) lowering's payload scales with the BATCH
 (receptive-field size), not with N, unlike GSPMD's default all-gather of
 whole [N, ...] tables.
 
@@ -67,24 +74,105 @@ def shape_bytes(shape_str: str) -> int:
     return total
 
 
-def collective_bytes(hlo_text: str):
-    """Sum of collective-op output bytes in optimized HLO, by op kind."""
-    out = {}
+def _parse_computations(hlo_text: str):
+    """Split optimized HLO into {computation_name: [op lines]} and find the
+    entry computation name."""
+    comps, entry, cur = {}, None, None
     for line in hlo_text.splitlines():
-        s = line.strip()
-        m = re.match(r"\S+ = (\(?[^)]*\)?) (\S+?)\(", s)
-        if not m:
+        m = re.match(r"(ENTRY )?%?([\w.\-]+) (?:\([^)]*\) -> |\().*\{", line)
+        if m and not line.startswith(" "):
+            cur = m.group(2)
+            comps[cur] = []
+            if m.group(1):
+                entry = cur
             continue
+        if cur is not None and line.startswith("}"):
+            cur = None
+            continue
+        if cur is not None:
+            comps[cur].append(line.strip())
+    return comps, entry
+
+
+_CALLEE_RE = re.compile(
+    r"(?:to_apply|body|condition|true_computation|false_computation)="
+    r"%?([\w.\-]+)|branch_computations=\{([^}]*)\}|"
+    r"called_computations=\{([^}]*)\}")
+
+
+def _op_callees(line: str):
+    names = []
+    for m in _CALLEE_RE.finditer(line):
+        if m.group(1):
+            names.append(m.group(1))
+        else:
+            names += [s.strip().lstrip("%") for s in
+                      (m.group(2) or m.group(3)).split(",") if s.strip()]
+    return names
+
+
+def collective_bytes(hlo_text: str, p: int):
+    """Per-chip WIRE bytes of the executed path, by collective kind.
+
+    Ring model per op (result = output shape bytes):
+      all-gather / all-to-all / collective-permute: (p-1)/p x result
+      all-reduce: 2(p-1)/p x result;  reduce-scatter: (p-1) x result
+    Conditionals contribute their cheapest branch (the steady-state
+    no-overflow fetch path); while bodies are counted once."""
+    comps, entry = _parse_computations(hlo_text)
+
+    def op_bytes(line):
+        m = re.match(r"\S+ = (\(?[^)]*\)?) (\S+?)\(", line)
+        if not m:
+            return {}
         op = m.group(2).split(".")[0]
         if op.endswith("-start"):
             op = op[:-6]
-        if op in COLLECTIVES:
-            out[op] = out.get(op, 0) + shape_bytes(m.group(1))
-    return out
+        if op not in COLLECTIVES:
+            return {}
+        b = shape_bytes(m.group(1))
+        if op == "all-reduce":
+            b = 2 * b * (p - 1) // p
+        elif op == "reduce-scatter":
+            b = b * (p - 1)
+        else:
+            b = b * (p - 1) // p
+        return {op: b}
+
+    memo = {}
+
+    def walk(name):
+        if name in memo:
+            return memo[name]
+        memo[name] = {}          # cycle guard
+        total = {}
+        for line in comps.get(name, ()):
+            for k, v in op_bytes(line).items():
+                total[k] = total.get(k, 0) + v
+            callees = _op_callees(line)
+            if not callees:
+                continue
+            subs = [walk(c) for c in callees if c in comps]
+            if "conditional" in line and subs:
+                subs = [min(subs, key=lambda s: sum(s.values()))]
+            for s in subs:
+                for k, v in s.items():
+                    total[k] = total.get(k, 0) + v
+        memo[name] = total
+        return total
+
+    return walk(entry)
 
 
 def lower_step(n_nodes: int, batch: int, n_dev: int, shard_graph: bool,
-               halo: bool):
+               halo: bool, fetch: bool = True):
+    from stochastic_gcn_tpu.parallel import halo as H
+    H.FETCH_GATHER = fetch
+    return _lower_step(n_nodes, batch, n_dev, shard_graph, halo)
+
+
+def _lower_step(n_nodes: int, batch: int, n_dev: int, shard_graph: bool,
+                halo: bool):
     ds = synthetic_dataset(num_nodes=n_nodes, feature_dim=64, num_classes=8,
                            avg_degree=8, seed=0, normalization="graphsage")
     cfg = Config(dataset="synthetic", batch_size=batch, degree=1,
@@ -119,15 +207,17 @@ def lower_step(n_nodes: int, batch: int, n_dev: int, shard_graph: bool,
 def main():
     n_dev = len(jax.devices())
     batch = 256
-    print(f"devices={n_dev}  batch={batch}  (bytes = per-chip collective "
-          "output bytes per step, upper bound)")
+    print(f"devices={n_dev}  batch={batch}  (bytes = modeled per-chip WIRE "
+          "bytes per step, executed path)")
     for n_nodes in (4096, 16384):
         print(f"\n--- N={n_nodes} ---")
-        for name, sg, halo in (("repl-data       ", False, True),
-                               ("shard-data      ", True, True),
-                               ("shard-data-gspmd", True, False)):
-            txt = lower_step(n_nodes, batch, n_dev, sg, halo)
-            per = collective_bytes(txt)
+        for name, sg, halo, fetch in (
+                ("repl-data       ", False, True, True),
+                ("shard-data      ", True, True, True),
+                ("shard-data-psum ", True, True, False),
+                ("shard-data-gspmd", True, False, True)):
+            txt = lower_step(n_nodes, batch, n_dev, sg, halo, fetch)
+            per = collective_bytes(txt, n_dev)
             tot = sum(per.values())
             detail = " ".join(f"{k}={v/1e6:.2f}MB" for k, v in
                               sorted(per.items()))

@@ -13,9 +13,23 @@ step); every helper here instead routes rows explicitly from their owner
 chips so ICI traffic scales with the *request* count (the receptive-field
 size), never with N:
 
-* gathers — all chips all-gather the (small, integer) request ids, each
-  chip serves the rows it owns via a masked local gather, and one
-  ``psum_scatter`` returns each chip its shard of the result.
+* gathers — FETCH-routed by default (:func:`row_gather`): each chip reads
+  the rows it owns locally (zero ICI) and requests only the spill rows
+  from their owners over a capacity-bounded ``all_to_all`` round trip (ids
+  out, rows back, native dtype).  Per-chip ICI bytes ≈ 2·spill·d — under
+  owner-aligned batching (``cfg.owner_batching``, ~97-100% self-locality)
+  that is near zero, and even for fully shuffled requests it is
+  ~4·F/P·d, a further ~P/4× below the previous psum lowering.  If the
+  static spill capacity ever overflows (skewed requests without owner
+  alignment), a ``lax.cond`` falls back IN-GRAPH to the exact psum path —
+  gathers are never approximated.
+* psum gathers (fallback + true reductions) — all chips all-gather the
+  (small, integer) request ids, each chip serves the rows it owns via a
+  masked local gather, and one ``psum_scatter`` returns each chip its
+  shard of the result (per-chip bytes ≈ (P-1)/P·F·d, locality-blind).
+  This stays the primary lowering for the CV full-neighborhood
+  CONTRACTION (:func:`owner_routed` with a reducing ``partial_fn``),
+  where the sum over owner chips is the semantics, not transport.
 * scatters — each chip sorts its update rows by owner chip and sends them
   point-to-point over ICI (``all_to_all``), ~P× fewer bytes than the
   all-gather-then-mask lowering.  The per-destination capacity is bounded
@@ -38,6 +52,14 @@ import jax
 import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
+
+
+# Trace-time switch for the gather transport: True = fetch-routed
+# all_to_all round trip with in-graph psum fallback (default), False =
+# always the all-gather+psum_scatter lowering.  Read when the step is
+# TRACED, so flip it before building a trainer (used by
+# scripts/measure_halo_payload.py for A/B payload accounting).
+FETCH_GATHER = True
 
 
 def data_axis_size(mesh) -> int:
@@ -89,14 +111,100 @@ def owner_routed(table: jax.Array, ids: jax.Array, extras, partial_fn, mesh):
                      axis_names={axis})(table, ids, *extras)
 
 
+def _fetch_or_psum_gather(table: jax.Array, ids: jax.Array, mesh,
+                          cap_mult: float = 2.0) -> jax.Array:
+    """``table[ids]`` over a row-sharded table: fetch-routed transport with
+    an in-graph exact psum fallback.
+
+    Each chip serves its OWN rows with a plain local gather (no ICI);
+    spill rows are sorted by owner, bucketed into a static ``[P, cap]``
+    request, and fetched over two ``all_to_all`` hops (int32 ids out,
+    native-dtype rows back).  The capacity follows
+    :func:`scatter_capacity`; a replicated overflow count (one scalar
+    psum) selects — via ``lax.cond``, so only one branch runs — between
+    the fetched result and the locality-blind all-gather+psum_scatter
+    path, keeping the gather EXACT for arbitrarily skewed requests.
+    ``ids`` may contain duplicates and sentinel rows; 1-D ids only.
+    """
+    axis = mesh.axis_names[0]
+    p = mesh.shape[axis]
+    r_tot = table.shape[0]
+    n_loc = r_tot // p
+    c_loc = ids.shape[0] // p
+    cap = scatter_capacity(ids.shape[0], p, cap_mult)
+    dt = table.dtype
+    d = int(np.prod(table.shape[1:], dtype=np.int64)) if table.ndim > 1 else 1
+    t2 = table.reshape(r_tot, d)
+
+    def body(t_loc, ids_loc):
+        me = jax.lax.axis_index(axis)
+        safe = jnp.minimum(ids_loc.astype(jnp.int32), r_tot - 1)
+        owner = safe // n_loc
+        mine = owner == me
+        # bucket remote requests by owner (self rows parked past every
+        # destination, exactly like row_scatter)
+        owner_r = jnp.where(mine, p, owner)
+        order = jnp.argsort(owner_r)
+        so = jnp.take(owner_r, order)
+        dests = jnp.arange(p, dtype=so.dtype)
+        starts = jnp.searchsorted(so, dests, side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(so, dests, side="right").astype(jnp.int32)
+        slot = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+        valid = slot < ends[:, None]                         # [p, cap]
+        gidx = jnp.minimum(slot, c_loc - 1).reshape(-1)
+        send_ids = jnp.where(
+            valid, jnp.take(jnp.take(safe, order), gidx).reshape(p, cap),
+            r_tot - 1)
+        pos = jnp.where(valid, jnp.take(order, gidx).reshape(p, cap), c_loc)
+        overflow = jax.lax.psum(
+            jnp.sum(jnp.maximum(ends - starts - cap, 0)), axis)
+
+        def fetch(_):
+            req = jax.lax.all_to_all(send_ids, axis, 0, 0, tiled=True)
+            loc = req.reshape(-1) - me * n_loc
+            ok = (loc >= 0) & (loc < n_loc)
+            rows = jnp.take(t_loc, jnp.clip(loc, 0, n_loc - 1), axis=0)
+            rows = jnp.where(ok[:, None], rows, 0)
+            rep = jax.lax.all_to_all(rows.reshape(p, cap, d), axis, 0, 0,
+                                     tiled=True)
+            # self rows locally, remote rows into their recorded positions
+            self_loc = jnp.where(mine, safe - me * n_loc, 0)
+            out = jnp.where(mine[:, None],
+                            jnp.take(t_loc, self_loc, axis=0), 0)
+            return out.at[pos.reshape(-1)].set(rep.reshape(-1, d),
+                                               mode="drop")
+
+        def psum_path(_):
+            ids_all = jax.lax.all_gather(safe, axis)         # [P, F/P]
+            loc = ids_all - me * n_loc
+            ok = (loc >= 0) & (loc < n_loc)
+            rows = jnp.take(t_loc, jnp.clip(loc, 0, n_loc - 1), axis=0)
+            part = jnp.where(ok[..., None], rows, 0).astype(jnp.float32)
+            return jax.lax.psum_scatter(
+                part, axis, scatter_dimension=0, tiled=False).astype(dt)
+
+        return jax.lax.cond(overflow > 0, psum_path, fetch, None)
+
+    out = shard_map(body, mesh=mesh, in_specs=(P(axis, None), P(axis)),
+                    out_specs=P(axis, None), axis_names={axis})(t2, ids)
+    return out.reshape(ids.shape[:1] + table.shape[1:])
+
+
 def row_gather(table: jax.Array, ids: jax.Array, mesh=None) -> jax.Array:
     """``table[ids]`` from a row-sharded table, dtype preserved.
 
-    Non-float tables ride the psum in float32 (node counts < 2^24 make
-    int32 ids exactly representable); exactly one chip contributes each
-    row, so the sum is the row itself."""
+    Fetch-routed (see :func:`_fetch_or_psum_gather`): self rows are local,
+    spill rows ride a bounded all_to_all in the table's NATIVE dtype, and
+    an in-graph psum fallback keeps the result exact under overflow.
+    Multi-dim requests take the psum path directly (float32 transport —
+    node counts < 2^24 keep int32 ids exactly representable; exactly one
+    chip contributes each row, so the sum is the row itself)."""
     if not halo_tiles(table, ids, mesh):
         return jnp.take(table, ids, axis=0)
+
+    if FETCH_GATHER and ids.ndim == 1 \
+            and ids.shape[0] >= data_axis_size(mesh):
+        return _fetch_or_psum_gather(table, ids, mesh)
 
     dt = table.dtype
 
@@ -112,11 +220,22 @@ def row_gather2(table_i: jax.Array, table_f: jax.Array, ids: jax.Array,
                 mesh=None):
     """Gather the same rows from an int32 table and a float32 table of
     identical shape (e.g. a PaddedGraph's ``nbr``/``w``, or sparse-feature
-    ``idx``/``val``) in ONE exchange: the pair rides a single stacked
-    psum_scatter, halving the collective rounds of two separate gathers."""
+    ``idx``/``val``) in ONE exchange: the int table is value-cast to
+    float32 (exact — node ids < 2^24; a BITCAST would be wrong here, as
+    ids < 2^23 bitcast to f32 denormals that the psum fallback's additions
+    flush to zero on TPU), stacked with the float table, and the pair
+    rides a single fetch-routed gather."""
     if not halo_tiles(table_i, ids, mesh):
         return (jnp.take(table_i, ids, axis=0),
                 jnp.take(table_f, ids, axis=0))
+
+    if FETCH_GATHER and ids.ndim == 1 \
+            and ids.shape[0] >= data_axis_size(mesh):
+        stacked = jnp.stack(
+            [table_i.astype(jnp.float32),
+             table_f.astype(jnp.float32)], axis=1)
+        out = _fetch_or_psum_gather(stacked, ids, mesh)      # [F, 2, k]
+        return out[:, 0].astype(table_i.dtype), out[:, 1]
 
     stacked = jnp.stack(
         [table_i.astype(jnp.float32), table_f.astype(jnp.float32)], axis=1)

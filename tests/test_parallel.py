@@ -197,6 +197,55 @@ def test_halo_row_primitives():
     assert int(dropped2) > 0  # capacity 1.0x genuinely binds under skew
 
 
+def test_fetch_gather_overflow_and_dtypes():
+    """The fetch-routed gather (halo.py::_fetch_or_psum_gather) must stay
+    EXACT in all three regimes: fully owner-aligned requests (zero spill),
+    maximally skewed requests that overflow the static spill capacity (the
+    lax.cond psum fallback), and bf16 tables (native-dtype transport)."""
+    from stochastic_gcn_tpu.parallel.halo import row_gather, row_gather2
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(11)
+    r, d, c = 64 * n_dev, 6, 8 * n_dev
+    n_loc = r // n_dev
+    table = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32))
+
+    # fully owner-aligned: chip i's chunk requests only rows chip i owns
+    aligned = np.concatenate([
+        rng.integers(i * n_loc, (i + 1) * n_loc, size=c // n_dev)
+        for i in range(n_dev)]).astype(np.int32)
+    got = jax.jit(lambda t, i: row_gather(t, i, mesh))(
+        table, jnp.asarray(aligned))
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(table)[aligned])
+
+    # maximal skew: every request targets chip 0's rows -> per-dest count
+    # c/n_dev exceeds any sub-full capacity -> in-graph psum fallback
+    skew = rng.integers(0, n_loc, size=c).astype(np.int32)
+    got2 = jax.jit(lambda t, i: row_gather(t, i, mesh))(
+        table, jnp.asarray(skew))
+    np.testing.assert_array_equal(np.asarray(got2),
+                                  np.asarray(table)[skew])
+
+    # bf16 table rides the wire at bf16 — result bit-equal to a local take
+    t16 = table.astype(jnp.bfloat16)
+    mixed = rng.integers(0, r, size=c).astype(np.int32)
+    got3 = jax.jit(lambda t, i: row_gather(t, i, mesh))(
+        t16, jnp.asarray(mixed))
+    np.testing.assert_array_equal(
+        np.asarray(got3.astype(jnp.float32)),
+        np.asarray(jnp.take(t16, jnp.asarray(mixed), axis=0)
+                   .astype(jnp.float32)))
+
+    # pair gather under skew (fallback) keeps int side exact
+    ti = jnp.asarray(rng.integers(0, r, size=(r, d)), dtype=jnp.int32)
+    gi, gf = jax.jit(lambda a, b, i: row_gather2(a, b, i, mesh))(
+        ti, table, jnp.asarray(skew))
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(ti)[skew])
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(table)[skew],
+                               rtol=1e-6)
+
+
 def _run_step_sharded_graph(cfg, ds, mesh_devices):
     """Step with graph/features/labels node-sharded (data_template path)."""
     from stochastic_gcn_tpu.data.graph import (pad_features_rows,
