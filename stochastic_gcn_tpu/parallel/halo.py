@@ -159,31 +159,36 @@ def _fetch_or_psum_gather(table: jax.Array, ids: jax.Array, mesh,
         overflow = jax.lax.psum(
             jnp.sum(jnp.maximum(ends - starts - cap, 0)), axis)
 
-        def fetch(_):
-            req = jax.lax.all_to_all(send_ids, axis, 0, 0, tiled=True)
-            loc = req.reshape(-1) - me * n_loc
-            ok = (loc >= 0) & (loc < n_loc)
-            rows = jnp.take(t_loc, jnp.clip(loc, 0, n_loc - 1), axis=0)
-            rows = jnp.where(ok[:, None], rows, 0)
-            rep = jax.lax.all_to_all(rows.reshape(p, cap, d), axis, 0, 0,
-                                     tiled=True)
-            # self rows locally, remote rows into their recorded positions
-            self_loc = jnp.where(mine, safe - me * n_loc, 0)
-            out = jnp.where(mine[:, None],
+        # fetch transport runs UNCONDITIONALLY: the overflow-flag psum has
+        # no data dependence on the two all_to_alls, so XLA can overlap
+        # them (serial collective depth 2, not 3); only the exact psum
+        # CORRECTION is cond-gated, and overflow is a never-event at the
+        # default capacity for shuffled or owner-aligned batches.
+        req = jax.lax.all_to_all(send_ids, axis, 0, 0, tiled=True)
+        loc = req.reshape(-1) - me * n_loc
+        ok = (loc >= 0) & (loc < n_loc)
+        rows = jnp.take(t_loc, jnp.clip(loc, 0, n_loc - 1), axis=0)
+        rows = jnp.where(ok[:, None], rows, 0)
+        rep = jax.lax.all_to_all(rows.reshape(p, cap, d), axis, 0, 0,
+                                 tiled=True)
+        # self rows locally, remote rows into their recorded positions
+        self_loc = jnp.where(mine, safe - me * n_loc, 0)
+        fetched = jnp.where(mine[:, None],
                             jnp.take(t_loc, self_loc, axis=0), 0)
-            return out.at[pos.reshape(-1)].set(rep.reshape(-1, d),
-                                               mode="drop")
+        fetched = fetched.at[pos.reshape(-1)].set(rep.reshape(-1, d),
+                                                  mode="drop")
 
         def psum_path(_):
             ids_all = jax.lax.all_gather(safe, axis)         # [P, F/P]
-            loc = ids_all - me * n_loc
-            ok = (loc >= 0) & (loc < n_loc)
-            rows = jnp.take(t_loc, jnp.clip(loc, 0, n_loc - 1), axis=0)
-            part = jnp.where(ok[..., None], rows, 0).astype(jnp.float32)
+            loc_a = ids_all - me * n_loc
+            ok_a = (loc_a >= 0) & (loc_a < n_loc)
+            rows_a = jnp.take(t_loc, jnp.clip(loc_a, 0, n_loc - 1), axis=0)
+            part = jnp.where(ok_a[..., None], rows_a, 0).astype(jnp.float32)
             return jax.lax.psum_scatter(
                 part, axis, scatter_dimension=0, tiled=False).astype(dt)
 
-        return jax.lax.cond(overflow > 0, psum_path, fetch, None)
+        return jax.lax.cond(overflow > 0, psum_path, lambda _: fetched,
+                            None)
 
     out = shard_map(body, mesh=mesh, in_specs=(P(axis, None), P(axis)),
                     out_specs=P(axis, None), axis_names={axis})(t2, ids)
