@@ -28,12 +28,26 @@ from ..sampler.scheduler import LayerSample
 
 
 def fanout_gather(x: jax.Array, slot_pos: jax.Array,
-                  slot_w: jax.Array) -> jax.Array:
+                  slot_w: jax.Array, mesh=None) -> jax.Array:
     """[C_in, d], [F, k], [F, k] -> [F, d]: out[f] = sum_s w[f,s]*x[pos[f,s]].
 
     The sampled-adjacency SpMM (reference: tf.sparse_tensor_dense_matmul at
     gcn/layers.py:34) in gather+contract form — static shapes, no scatter.
+
+    With a mesh the activations are row-sharded (every field tensor comes
+    out of a halo gather P('data')-sharded), and GSPMD lowers this gather
+    to a masked-partials all-reduce of [F, k, d] plus an all-gather in the
+    backward scatter-add — the largest wire item of the sharded step.
+    Routing it through the fetch transport (parallel/halo.py::row_gather,
+    which differentiates exactly: gather/scatter transpose locally,
+    all_to_all is its own transpose) moves only the spill rows.
     """
+    if mesh is not None:
+        from ..parallel.halo import halo_tiles, row_gather
+        flat = slot_pos.reshape(-1)
+        if halo_tiles(x, flat, mesh):
+            g = row_gather(x, flat, mesh).reshape(slot_pos.shape + x.shape[1:])
+            return jnp.einsum("fk,fkd->fd", slot_w, g)
     g = jnp.take(x, slot_pos, axis=0)          # [F, k, d]
     return jnp.einsum("fk,fkd->fd", slot_w, g)
 
@@ -144,30 +158,39 @@ def _self_concat(normalization: str, self_part, nbr_part):
     return jnp.concatenate((self_part, nbr_part), axis=1)
 
 
-def _self_rows(x: jax.Array, ls: LayerSample) -> jax.Array:
+def _self_rows(x: jax.Array, ls: LayerSample, mesh=None) -> jax.Array:
     """The OUTPUT field's rows of an input-field tensor: the ``[:F_out]``
     prefix under the classic field layout (scheduler.cpp:48-52 invariant),
     a position gather under the owner-aligned layout
-    (scheduler.py::compact_field_aligned, LayerSample.self_pos)."""
+    (scheduler.py::compact_field_aligned, LayerSample.self_pos).
+
+    Under the owner-aligned layout every id sits in its owner chip's
+    positional block of BOTH fields, so the position gather is ~100%
+    self-local — the fetch-routed transport makes it ICI-free, where the
+    GSPMD lowering all-reduces the full [F, d] result."""
     if ls.self_pos is None:
         return x[:ls.slot_pos.shape[0]]
+    if mesh is not None:
+        from ..parallel.halo import halo_tiles, row_gather
+        if halo_tiles(x, ls.self_pos, mesh):
+            return row_gather(x, ls.self_pos, mesh)
     return jnp.take(x, ls.self_pos, axis=0)
 
 
-def plain_aggregate(inputs, ls: LayerSample, normalization: str):
+def plain_aggregate(inputs, ls: LayerSample, normalization: str, mesh=None):
     """PlainAggregator (gcn/layers.py:214-257): Z = Â_samp·H, with self
     concat under graphsage normalization and a (mu, var) moment branch that
     squares the adjacency for the variance."""
     if isinstance(inputs, tuple):
         mu, var = inputs
-        mu_n = fanout_gather(mu, ls.slot_pos, ls.slot_w)
-        var_n = fanout_gather(var, ls.slot_pos, jnp.square(ls.slot_w))
+        mu_n = fanout_gather(mu, ls.slot_pos, ls.slot_w, mesh)
+        var_n = fanout_gather(var, ls.slot_pos, jnp.square(ls.slot_w), mesh)
         if normalization == "gcn":
             return mu_n, var_n
-        return (jnp.concatenate((_self_rows(mu, ls), mu_n), axis=1),
-                jnp.concatenate((_self_rows(var, ls), var_n), axis=1))
-    nbr = fanout_gather(inputs, ls.slot_pos, ls.slot_w)
-    return _self_concat(normalization, _self_rows(inputs, ls), nbr)
+        return (jnp.concatenate((_self_rows(mu, ls, mesh), mu_n), axis=1),
+                jnp.concatenate((_self_rows(var, ls, mesh), var_n), axis=1))
+    nbr = fanout_gather(inputs, ls.slot_pos, ls.slot_w, mesh)
+    return _self_concat(normalization, _self_rows(inputs, ls, mesh), nbr)
 
 
 def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
@@ -192,15 +215,16 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
         delta_mu = mu - mu_small
         mu_mean = full_neighborhood_mean(history[0], graph, field_out,
                                          use_pallas=use_pallas, mesh=mesh)
-        mu_neighbour = fanout_gather(delta_mu, ls.slot_pos, ls.slot_w) \
-            + mu_mean
-        h_neighbour = fanout_gather(z, ls.slot_pos, ls.slot_w) \
+        mu_neighbour = fanout_gather(delta_mu, ls.slot_pos, ls.slot_w,
+                                     mesh) + mu_mean
+        h_neighbour = fanout_gather(z, ls.slot_pos, ls.slot_w, mesh) \
             * ls.scales[:, None] + mu_neighbour
         new_history = (mu,)
         if normalization == "gcn":
             return (h_neighbour, mu_neighbour), new_history
-        return ((jnp.concatenate((_self_rows(h, ls), h_neighbour), axis=1),
-                 jnp.concatenate((_self_rows(mu, ls), mu_neighbour),
+        return ((jnp.concatenate((_self_rows(h, ls, mesh), h_neighbour),
+                                 axis=1),
+                 jnp.concatenate((_self_rows(mu, ls, mesh), mu_neighbour),
                                  axis=1)),
                 new_history)
 
@@ -215,24 +239,25 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
         delta_sigma = sigma - sigma_bar
         msigma = delta_sigma * sigma_bar
 
-        mu_neighbour = fanout_gather(delta_mu, ls.slot_pos, ls.slot_w) \
+        mu_neighbour = fanout_gather(delta_mu, ls.slot_pos, ls.slot_w,
+                                     mesh) \
             + full_neighborhood_mean(mu_history, graph, field_out,
                                      use_pallas=use_pallas, mesh=mesh)
         var_neighbour = (
             fanout_gather(jnp.square(delta_sigma), ls.slot_pos,
-                          jnp.square(ls.slot_w))
+                          jnp.square(ls.slot_w), mesh)
             + full_neighborhood_mean(var_history, graph, field_out,
                                      square=True, use_pallas=use_pallas,
                                      mesh=mesh)
-            + 2.0 * fanout_gather(msigma, ls.slot_pos, ls.slot_aw))
+            + 2.0 * fanout_gather(msigma, ls.slot_pos, ls.slot_aw, mesh))
         var_neighbour = jax.nn.relu(var_neighbour) + 1e-10
 
         new_history = (mu, var)
         if normalization == "gcn":
             return (mu_neighbour, var_neighbour), new_history
-        return ((jnp.concatenate((_self_rows(mu, ls), mu_neighbour),
+        return ((jnp.concatenate((_self_rows(mu, ls, mesh), mu_neighbour),
                                  axis=1),
-                 jnp.concatenate((_self_rows(var, ls), var_neighbour),
+                 jnp.concatenate((_self_rows(var, ls, mesh), var_neighbour),
                                  axis=1)),
                 new_history)
 
@@ -242,9 +267,10 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
     # linear algebra, half the gather traffic)
     hist = history[0]
     delta = inputs - history_gather(hist, field_in, mesh)
-    a_neighbour = fanout_gather(delta, ls.slot_pos, ls.slot_w) \
+    a_neighbour = fanout_gather(delta, ls.slot_pos, ls.slot_w, mesh) \
         + full_neighborhood_mean(hist, graph, field_out,
                                  use_pallas=use_pallas, mesh=mesh)
     new_history = (inputs,)
-    return (_self_concat(normalization, _self_rows(inputs, ls), a_neighbour),
+    return (_self_concat(normalization, _self_rows(inputs, ls, mesh),
+                         a_neighbour),
             new_history)

@@ -306,7 +306,8 @@ def forward(params: dict, spec: ModelSpec, pack: BatchFields,
                     use_pallas=spec.use_pallas, mesh=mesh)
                 new_histories[l] = nh
             else:
-                h = agg.plain_aggregate(h, ls, spec.normalization)
+                h = agg.plain_aggregate(h, ls, spec.normalization,
+                                        mesh=mesh)
     return h, tuple(new_histories)
 
 
