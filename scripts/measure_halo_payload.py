@@ -165,20 +165,21 @@ def collective_bytes(hlo_text: str, p: int):
 
 
 def lower_step(n_nodes: int, batch: int, n_dev: int, shard_graph: bool,
-               halo: bool, fetch: bool = True):
+               halo: bool, fetch: bool = True, owner: bool = False):
     from stochastic_gcn_tpu.parallel import halo as H
     H.FETCH_GATHER = fetch
-    return _lower_step(n_nodes, batch, n_dev, shard_graph, halo)
+    return _lower_step(n_nodes, batch, n_dev, shard_graph, halo, owner)
 
 
 def _lower_step(n_nodes: int, batch: int, n_dev: int, shard_graph: bool,
-                halo: bool):
+                halo: bool, owner: bool = False):
     ds = synthetic_dataset(num_nodes=n_nodes, feature_dim=64, num_classes=8,
                            avg_degree=8, seed=0, normalization="graphsage")
     cfg = Config(dataset="synthetic", batch_size=batch, degree=1,
                  test_degree=1, cv=True, test_cv=True, hidden1=64,
                  normalization="graphsage", layer_norm=True, dropout=0.2,
-                 weight_decay=0.0, seed=1, halo_exchange=halo)
+                 weight_decay=0.0, seed=1, halo_exchange=halo,
+                 owner_batching=owner, dp=n_dev if owner else 0)
     tr = Trainer(cfg, ds)
     mesh = make_mesh(n_dev)
     if shard_graph:
@@ -211,12 +212,13 @@ def main():
           "bytes per step, executed path)")
     for n_nodes in (4096, 16384):
         print(f"\n--- N={n_nodes} ---")
-        for name, sg, halo, fetch in (
-                ("repl-data       ", False, True, True),
-                ("shard-data      ", True, True, True),
-                ("shard-data-psum ", True, True, False),
-                ("shard-data-gspmd", True, False, True)):
-            txt = lower_step(n_nodes, batch, n_dev, sg, halo, fetch)
+        for name, sg, halo, fetch, owner in (
+                ("repl-data       ", False, True, True, False),
+                ("shard-data      ", True, True, True, False),
+                ("shard-data-owner", True, True, True, True),
+                ("shard-data-psum ", True, True, False, False),
+                ("shard-data-gspmd", True, False, True, False)):
+            txt = lower_step(n_nodes, batch, n_dev, sg, halo, fetch, owner)
             per = collective_bytes(txt, n_dev)
             tot = sum(per.values())
             detail = " ".join(f"{k}={v/1e6:.2f}MB" for k, v in

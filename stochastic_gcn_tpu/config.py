@@ -144,6 +144,15 @@ class Config:
     # by construction — and counted in the hist_dropped metric.  >= dp
     # forces exactness for any skew.
     scatter_cap_mult: float = 2.0
+    # Per-destination capacity multiplier for the FETCH-routed halo
+    # gathers (history/graph/feature/label/activation row reads): same
+    # formula as scatter_cap_mult.  Unlike the scatter, gather overflow is
+    # NEVER lossy — an in-graph lax.cond falls back to the exact psum
+    # lowering — so small capacities only risk occasional slower steps.
+    # 0 = auto: 2.0 (shuffled batches), 0.5 under --owner_batching
+    # (~97-100% of requests are chip-local there, so spill buffers can be
+    # 4x smaller).
+    gather_cap_mult: float = 0.0
     # Partition-aware batch assignment (--dp > 1): fill each chip's batch
     # columns with train/eval ids whose history/graph rows that chip OWNS
     # (row-sharding assigns contiguous node blocks), so the batch field's

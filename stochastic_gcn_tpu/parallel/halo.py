@@ -46,6 +46,8 @@ when no mesh is given or the shapes do not tile evenly over it.
 
 from __future__ import annotations
 
+from typing import NamedTuple, Optional
+
 import numpy as np
 
 import jax
@@ -61,10 +63,34 @@ from jax.sharding import PartitionSpec as P
 # scripts/measure_halo_payload.py for A/B payload accounting).
 FETCH_GATHER = True
 
+# Default per-destination fetch-gather capacity multiplier (see
+# scatter_capacity): 2.0 leaves many std-devs of slack for fully shuffled
+# requests.  Owner-aligned batching (cfg.owner_batching, ~97-100%
+# self-locality) needs far less — cfg.gather_cap_mult plumbs a smaller
+# budget through a HaloSpec; overflow always falls back in-graph to the
+# exact psum path, so any capacity is safe.
+GATHER_CAP_MULT = 2.0
+
+
+class HaloSpec(NamedTuple):
+    """A mesh plus halo-transport knobs.  Accepted anywhere halo helpers
+    accept a ``mesh`` — intermediate layers (forward, aggregators,
+    scheduler) thread it opaquely."""
+    mesh: object
+    gather_cap_mult: float = GATHER_CAP_MULT
+
+
+def _unwrap(mesh) -> tuple:
+    """(raw Mesh or None, gather_cap_mult) from a Mesh/HaloSpec/None."""
+    if isinstance(mesh, HaloSpec):
+        return mesh.mesh, mesh.gather_cap_mult
+    return mesh, GATHER_CAP_MULT
+
 
 def data_axis_size(mesh) -> int:
     """Chips along the node-sharding ('data') axis — the FIRST mesh axis.
     Distinct from mesh.devices.size on 2-D (data, model) meshes (--tp)."""
+    mesh, _ = _unwrap(mesh)
     return mesh.shape[mesh.axis_names[0]]
 
 
@@ -72,6 +98,7 @@ def halo_tiles(table: jax.Array, ids: jax.Array, mesh) -> bool:
     """True when the owner-routed lowering applies: >1 chip along the data
     axis and both the table rows and the request count tile evenly over
     it."""
+    mesh, _ = _unwrap(mesh)
     if mesh is None:
         return False
     p = data_axis_size(mesh)
@@ -87,6 +114,7 @@ def owner_routed(table: jax.Array, ids: jax.Array, extras, partial_fn, mesh):
     one ``psum_scatter`` sums the partials while handing every chip its own
     shard — ICI payload ≈ the result size, independent of N.
     """
+    mesh, _ = _unwrap(mesh)
     axis = mesh.axis_names[0]
     p = mesh.shape[axis]
     n_loc = table.shape[0] // p
@@ -112,7 +140,7 @@ def owner_routed(table: jax.Array, ids: jax.Array, extras, partial_fn, mesh):
 
 
 def _fetch_or_psum_gather(table: jax.Array, ids: jax.Array, mesh,
-                          cap_mult: float = 2.0) -> jax.Array:
+                          cap_mult: Optional[float] = None) -> jax.Array:
     """``table[ids]`` over a row-sharded table: fetch-routed transport with
     an in-graph exact psum fallback.
 
@@ -126,12 +154,14 @@ def _fetch_or_psum_gather(table: jax.Array, ids: jax.Array, mesh,
     path, keeping the gather EXACT for arbitrarily skewed requests.
     ``ids`` may contain duplicates and sentinel rows; 1-D ids only.
     """
+    mesh, gcap = _unwrap(mesh)
     axis = mesh.axis_names[0]
     p = mesh.shape[axis]
     r_tot = table.shape[0]
     n_loc = r_tot // p
     c_loc = ids.shape[0] // p
-    cap = scatter_capacity(ids.shape[0], p, cap_mult)
+    cap = scatter_capacity(ids.shape[0], p,
+                           gcap if cap_mult is None else cap_mult)
     dt = table.dtype
     d = int(np.prod(table.shape[1:], dtype=np.int64)) if table.ndim > 1 else 1
     t2 = table.reshape(r_tot, d)
@@ -290,6 +320,7 @@ def row_scatter(table: jax.Array, ids: jax.Array, rows: jax.Array,
         return (table.at[ids].set(rows.astype(table.dtype)),
                 jnp.zeros((), jnp.int32))
 
+    mesh, _ = _unwrap(mesh)
     axis = mesh.axis_names[0]
     p = mesh.shape[axis]
     r_tot = table.shape[0]

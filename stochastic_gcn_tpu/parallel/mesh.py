@@ -80,6 +80,17 @@ def mesh_host_shape(mesh: Mesh, hosts: int) -> tuple:
     return (hosts, mesh.devices.size // hosts)
 
 
+def _halo_spec(cfg, mesh: Mesh):
+    """Mesh + halo-transport knobs threaded to the step (parallel/halo.py).
+    gather_cap_mult 0 = auto: 2.0 for shuffled batches, 0.5 under
+    owner-aligned batching (requests are ~97-100% chip-local, so the
+    fetch spill buffers shrink 4x; overflow falls back in-graph to the
+    exact psum path, so any capacity is safe)."""
+    from .halo import HaloSpec
+    gcap = cfg.gather_cap_mult or (0.5 if cfg.owner_batching else 2.0)
+    return HaloSpec(mesh, gcap)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -192,8 +203,8 @@ def make_sharded_train_step(cfg, spec, degrees: Tuple[int, ...],
 
     repl = replicated(mesh)
     shard = batch_sharded(mesh)
-    halo = mesh if (cfg.halo_exchange and (shard_history or shard_graph)) \
-        else None
+    halo = _halo_spec(cfg, mesh) \
+        if (cfg.halo_exchange and (shard_history or shard_graph)) else None
     inner = build_train_step(cfg, spec, degrees, num_nodes, mesh=halo)
 
     if state_template is not None:
@@ -224,8 +235,8 @@ def make_sharded_train_epoch(cfg, spec, degrees: Tuple[int, ...],
     repl = replicated(mesh)
     bm_sh = NamedSharding(mesh, P(None, "data"))
     st_sh = state_shardings(mesh, state_template, shard_history)
-    halo = mesh if (cfg.halo_exchange and (shard_history or shard_graph)) \
-        else None
+    halo = _halo_spec(cfg, mesh) \
+        if (cfg.halo_exchange and (shard_history or shard_graph)) else None
     inner = build_train_epoch(cfg, spec, degrees, num_nodes, mesh=halo)
 
     if data_template is not None:
@@ -264,8 +275,8 @@ def make_sharded_eval_epoch(cfg, spec, degrees: Tuple[int, ...],
             return NamedSharding(mesh, P("data", "model"))
         return row_sharded(mesh)
     hist_sh = jtu.tree_map(hrule, hist_template)
-    halo = mesh if (cfg.halo_exchange and (shard_history or shard_graph)) \
-        else None
+    halo = _halo_spec(cfg, mesh) \
+        if (cfg.halo_exchange and (shard_history or shard_graph)) else None
     inner = build_eval_epoch(cfg, spec, degrees, num_nodes, mesh=halo)
 
     if data_template is not None:

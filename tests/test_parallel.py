@@ -246,6 +246,35 @@ def test_fetch_gather_overflow_and_dtypes():
                                rtol=1e-6)
 
 
+def test_halo_spec_gather_cap_exact():
+    """A HaloSpec with a tiny gather_cap_mult must stay EXACT for any
+    request pattern: aligned requests fit the shrunken buffers, shuffled
+    requests overflow them and take the in-graph psum fallback."""
+    from stochastic_gcn_tpu.parallel.halo import HaloSpec, row_gather
+    n_dev = len(jax.devices())
+    spec = HaloSpec(make_mesh(n_dev), gather_cap_mult=0.25)
+    rng = np.random.default_rng(3)
+    r, d, c = 64 * n_dev, 5, 16 * n_dev
+    n_loc = r // n_dev
+    table = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32))
+    aligned = np.concatenate([
+        rng.integers(i * n_loc, (i + 1) * n_loc, size=c // n_dev)
+        for i in range(n_dev)]).astype(np.int32)
+    shuffled = rng.integers(0, r, size=c).astype(np.int32)
+    for ids in (aligned, shuffled):
+        got = jax.jit(lambda t, i: row_gather(t, i, spec))(
+            table, jnp.asarray(ids))
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.asarray(table)[ids])
+    # and gradients flow through the capacity-bounded transport exactly
+    def f(t):
+        return jnp.sum(row_gather(t, jnp.asarray(shuffled), spec) ** 2)
+    g = jax.jit(jax.grad(f))(table)
+    g_ref = jax.grad(
+        lambda t: jnp.sum(jnp.take(t, jnp.asarray(shuffled), 0) ** 2))(table)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-6)
+
+
 def _run_step_sharded_graph(cfg, ds, mesh_devices):
     """Step with graph/features/labels node-sharded (data_template path)."""
     from stochastic_gcn_tpu.data.graph import (pad_features_rows,
