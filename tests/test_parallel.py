@@ -104,6 +104,29 @@ def test_sharded_history_matches_replicated(setup):
     assert max(shard_rows) < h0.shape[0]
 
 
+@pytest.mark.parametrize("variant", ["cvd", "det_dropout"])
+def test_sharded_estimator_variants_match_replicated(setup, variant):
+    """CVD's dual-stream (h, mu) gathers and det-dropout's (mu, var)
+    moment gathers ride the fetch-routed activation transport when the
+    history is sharded — both must reproduce the replicated layout."""
+    cfg, ds = setup
+    cfgv = cfg.replace(cvd=True) if variant == "cvd" \
+        else cfg.replace(det_dropout=True, dropout=0.2)
+    n_dev = len(jax.devices())
+    s_rep, m_rep = _run_step(cfgv, ds, n_dev, shard_history=False)
+    s_sh, m_sh = _run_step(cfgv, ds, n_dev, shard_history=True)
+    np.testing.assert_allclose(float(m_rep["loss"]), float(m_sh["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_rep.histories),
+                    jax.tree_util.tree_leaves(s_sh.histories)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_rep.params),
+                    jax.tree_util.tree_leaves(s_sh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
+
+
 def test_trainer_dp_mode(setup):
     """Trainer with --dp N runs sharded epoch/eval end-to-end and matches
     the learning behavior of single-device mode."""
