@@ -23,6 +23,14 @@ def main(argv=None):
     cfg = parse_flags(argv)
     np.random.seed(cfg.seed)
 
+    # multi-controller launch (--coordinator host:port): initialize before
+    # any backend use; non-main processes run silently (identical compute,
+    # process-0 owns the log stream the parsers consume)
+    from ..parallel.distributed import maybe_initialize
+    if maybe_initialize(cfg):
+        import os
+        sys.stdout = open(os.devnull, "w")
+
     ds = load_data(cfg)
     print("Features shape = {}, training edges = {}, testing edges = {}"
           .format(ds.feats.shape, ds.train_adj.nnz, ds.full_adj.nnz))

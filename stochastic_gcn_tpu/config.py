@@ -123,6 +123,16 @@ class Config:
     # host owns a contiguous block of sharded node rows and halo exchanges
     # cross DCN only for remote-host rows.  1 = single-host.
     dp_hosts: int = 1
+    # Multi-controller (multi-process / multi-host) launch: coordinator
+    # address "host:port" for jax.distributed.initialize.  Every process
+    # runs the same CLI with the same flags plus its own --process_id;
+    # --dp then counts GLOBAL chips along the data axis.  Empty = single
+    # process.  (SURVEY §2.3 scale-out; the reference is single-process.)
+    coordinator: str = ""
+    # Total process count / this process's id for jax.distributed
+    # (ignored unless --coordinator is set).
+    num_processes: int = 1
+    process_id: int = 0
     # With row-sharded history (--dp > 1): route the CV full-neighborhood
     # term through an explicit halo exchange (local contraction +
     # psum_scatter of [F, d] partials) instead of GSPMD's default

@@ -1,0 +1,47 @@
+"""Multi-controller (multi-process / multi-host) launch support.
+
+The reference is strictly single-process (SURVEY.md §2.3: one tf.Session,
+no distribution of any kind).  This framework's sharded step already runs
+unchanged under multi-controller JAX — `make_mesh` builds the host-major
+('data'[, 'model']) mesh from the globally-enumerated device list, every
+O(N) table is row-sharded so each host owns a contiguous node block, and
+the halo exchanges cross DCN only for remote-host rows.  This module adds
+the process bootstrap:
+
+* :func:`maybe_initialize` — call `jax.distributed.initialize` from the
+  CLI flags (`--coordinator host:port --num_processes P --process_id i`),
+  before any backend use.  Each process then sees its local chips plus
+  the global device list.
+* :func:`is_main` / :func:`process_count` — gating helpers (logging and
+  checkpoint writes happen on process 0).
+
+Every process feeds the SAME host data: dataset loading, epoch shuffles
+and batch matrices are seeded identically, so all controllers trace and
+dispatch identical programs (the multi-controller contract).  Validated
+end-to-end by tests/test_multiprocess.py, which runs a real 2-process
+dp=8 training epoch over localhost.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def maybe_initialize(cfg) -> int:
+    """Initialize multi-controller JAX when --coordinator is set; returns
+    this process's index (0 when single-process)."""
+    if not getattr(cfg, "coordinator", ""):
+        return 0
+    jax.distributed.initialize(
+        coordinator_address=cfg.coordinator,
+        num_processes=cfg.num_processes,
+        process_id=cfg.process_id)
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_main() -> bool:
+    return jax.process_index() == 0

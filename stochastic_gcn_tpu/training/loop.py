@@ -421,6 +421,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save(self):
+        if jax.process_count() > 1:
+            # sharded state is not fully addressable from one controller;
+            # multi-host checkpointing (gather or per-shard orbax) is a
+            # deliberate non-goal for now — the reference has no
+            # distributed mode at all
+            print("checkpoint skipped under multi-controller launch")
+            return
         save_checkpoint(self.cfg.ckpt_dir, self.state, self.eval_histories,
                         self.key)
 
