@@ -178,6 +178,38 @@ def state_shardings(mesh: Mesh, state, shard_history: bool):
     )
 
 
+def history_shardings(mesh: Mesh, hist_template, shard_history: bool = True):
+    """Sharding tree for a bare histories tuple (e.g. eval-side buffers):
+    rows over 'data', columns over 'model' when they tile."""
+    import jax.tree_util as jtu
+    repl = replicated(mesh)
+    tp = dict(mesh.shape).get("model", 1)
+
+    def hrule(x):
+        if not shard_history:
+            return repl
+        if tp > 1 and x.ndim == 2 and x.shape[1] % tp == 0:
+            return NamedSharding(mesh, P("data", "model"))
+        return row_sharded(mesh)
+    return jtu.tree_map(hrule, hist_template)
+
+
+def global_put(tree, shardings):
+    """Commit a host-value pytree to its shardings; works under
+    multi-controller launches where every process holds the same full
+    host value (checkpoint restore path)."""
+    import jax.tree_util as jtu
+    import numpy as np
+
+    def put(x, s):
+        if jax.process_count() > 1:
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, s, lambda idx: arr[idx])
+        return jax.device_put(x, s)
+    return jtu.tree_map(put, tree, shardings)
+
+
 def make_sharded_train_step(cfg, spec, degrees: Tuple[int, ...],
                             num_nodes: int, mesh: Mesh,
                             state_template=None,
@@ -266,15 +298,7 @@ def make_sharded_eval_epoch(cfg, spec, degrees: Tuple[int, ...],
     p_sh = jtu.tree_map(param_sharding_rule(mesh), params_template) \
         if params_template is not None else repl
     bm_sh = NamedSharding(mesh, P(None, "data"))
-    tp = dict(mesh.shape).get("model", 1)
-
-    def hrule(x):
-        if not shard_history:
-            return repl
-        if tp > 1 and x.ndim == 2 and x.shape[1] % tp == 0:
-            return NamedSharding(mesh, P("data", "model"))
-        return row_sharded(mesh)
-    hist_sh = jtu.tree_map(hrule, hist_template)
+    hist_sh = history_shardings(mesh, hist_template, shard_history)
     halo = _halo_spec(cfg, mesh) \
         if (cfg.halo_exchange and (shard_history or shard_graph)) else None
     inner = build_eval_epoch(cfg, spec, degrees, num_nodes, mesh=halo)

@@ -35,22 +35,40 @@ def _path_leaves(payload):
         treedef
 
 
+def _leaf_to_numpy(leaf):
+    """Host value of a leaf.  Under a multi-controller launch, row-sharded
+    leaves (histories) are not fully addressable from one process — gather
+    the global value over DCN first (every process must participate)."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(leaf,
+                                                            tiled=True))
+    return np.asarray(leaf)
+
+
 def save_checkpoint(ckpt_dir: str, state, eval_histories, key,
                     name: str = "model") -> str:
+    """Write the full train state.  Multi-controller: all processes join
+    the shard gathers, process 0 writes the file (assumed on a shared
+    filesystem for later --load), and a barrier keeps save/load ordered."""
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"{name}.ckpt.npz")
     payload = {"state": state, "eval_histories": eval_histories, "key": key}
     flat, _ = _path_leaves(payload)
     arrays = {}
     for k, leaf in flat:
-        a = np.asarray(leaf)
+        a = _leaf_to_numpy(leaf)
         if a.dtype == jax.numpy.bfloat16:
             arrays[_BF16_PREFIX + k] = a.view(np.uint16)
         else:
             arrays[_LEAF_PREFIX + k] = a
-    with open(path, "wb") as f:
-        np.savez_compressed(f, **arrays)
-    print(f"Model saved in file: {path}")
+    if jax.process_index() == 0:
+        with open(path, "wb") as f:
+            np.savez_compressed(f, **arrays)
+        print(f"Model saved in file: {path}")
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("checkpoint_saved")
     return path
 
 

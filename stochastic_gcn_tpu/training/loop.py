@@ -421,13 +421,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save(self):
-        if jax.process_count() > 1:
-            # sharded state is not fully addressable from one controller;
-            # multi-host checkpointing (gather or per-shard orbax) is a
-            # deliberate non-goal for now — the reference has no
-            # distributed mode at all
-            print("checkpoint skipped under multi-controller launch")
-            return
+        # multi-controller: sharded leaves are gathered over DCN inside
+        # save_checkpoint; process 0 writes (shared filesystem assumed)
         save_checkpoint(self.cfg.ckpt_dir, self.state, self.eval_histories,
                         self.key)
 
@@ -440,6 +435,17 @@ class Trainer:
         self.key = key          # resume the saved RNG stream
         if load_history:
             self.eval_histories = eval_hist
+        if self.mesh is not None:
+            # re-commit the restored host values to their mesh shardings
+            # (required under multi-controller launches, where jit cannot
+            # shard raw numpy inputs)
+            from ..parallel.mesh import (global_put, history_shardings,
+                                         state_shardings)
+            self.state = global_put(
+                self.state, state_shardings(self.mesh, self.state, True))
+            self.eval_histories = global_put(
+                self.eval_histories,
+                history_shardings(self.mesh, self.eval_histories))
         # copy train-side history into the eval-side buffers (train.py:174);
         # only possible when the train/test models have matching history
         # shapes (same preprocess/estimator settings)

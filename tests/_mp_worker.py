@@ -39,9 +39,18 @@ def main():
         loss, acc, _, _ = tr.train_epoch()
         losses.append(loss)
     vloss, vacc, micro, macro, _ = tr.evaluate(ds.val_d)
+
+    # checkpoint round-trip across controllers: sharded histories gather
+    # over the coordinator, process 0 writes, both reload + keep training
+    tr.cfg = cfg.replace(ckpt_dir=os.path.dirname(out_path))
+    tr.save()
+    tr.load(load_history=True)
+    loss_resumed, _, _, _ = tr.train_epoch()
+
     with open(out_path, "w") as f:
         json.dump({"process": proc, "losses": losses, "val_loss": vloss,
-                   "val_acc": vacc, "micro": micro}, f)
+                   "val_acc": vacc, "micro": micro,
+                   "loss_resumed": loss_resumed}, f)
     print("worker", proc, "done", flush=True)
 
 

@@ -52,6 +52,11 @@ def test_two_process_training_matches_single_process(tmp_path):
                                rtol=1e-5)
     np.testing.assert_allclose(res[0]["val_loss"], res[1]["val_loss"],
                                rtol=1e-5)
+    # checkpoint round-trip (gathered shards, process-0 write, both
+    # controllers reload) kept training consistent
+    np.testing.assert_allclose(res[0]["loss_resumed"],
+                               res[1]["loss_resumed"], rtol=1e-5)
+    assert np.isfinite(res[0]["loss_resumed"])
 
     # and the 2-process mesh reproduces the single-process 8-device run
     # (same seeds -> same batches -> same math, collectives aside)
