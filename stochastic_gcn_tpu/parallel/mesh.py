@@ -161,18 +161,10 @@ def state_shardings(mesh: Mesh, state, shard_history: bool):
 
     repl = replicated(mesh)
     prule = param_sharding_rule(mesh)
-    tp = dict(mesh.shape).get("model", 1)
-
-    def hrule(x):
-        if not shard_history:
-            return repl
-        if tp > 1 and x.ndim == 2 and x.shape[1] % tp == 0:
-            return NamedSharding(mesh, P("data", "model"))
-        return row_sharded(mesh)
     return TrainState(
         params=jtu.tree_map(prule, state.params),
         opt_state=jtu.tree_map(prule, state.opt_state),
-        histories=jtu.tree_map(hrule, state.histories),
+        histories=history_shardings(mesh, state.histories, shard_history),
         step=repl,
         avg_params=jtu.tree_map(prule, state.avg_params),
     )
@@ -197,11 +189,16 @@ def history_shardings(mesh: Mesh, hist_template, shard_history: bool = True):
 def global_put(tree, shardings):
     """Commit a host-value pytree to its shardings; works under
     multi-controller launches where every process holds the same full
-    host value (checkpoint restore path)."""
+    host value (checkpoint restore path).  Leaves that are ALREADY
+    committed global device arrays (e.g. the live sharded histories kept
+    by ``load(load_history=False)``) pass through untouched — they cannot
+    be np.asarray'd from one controller and need no re-commit."""
     import jax.tree_util as jtu
     import numpy as np
 
     def put(x, s):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x
         if jax.process_count() > 1:
             arr = np.asarray(x)
             return jax.make_array_from_callback(

@@ -62,11 +62,12 @@ def save_checkpoint(ckpt_dir: str, state, eval_histories, key,
             arrays[_BF16_PREFIX + k] = a.view(np.uint16)
         else:
             arrays[_LEAF_PREFIX + k] = a
-    if jax.process_index() == 0:
+    from ..parallel.distributed import is_main, process_count
+    if is_main():
         with open(path, "wb") as f:
             np.savez_compressed(f, **arrays)
         print(f"Model saved in file: {path}")
-    if jax.process_count() > 1:
+    if process_count() > 1:
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("checkpoint_saved")
     return path

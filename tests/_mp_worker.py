@@ -46,11 +46,17 @@ def main():
     tr.save()
     tr.load(load_history=True)
     loss_resumed, _, _, _ = tr.train_epoch()
+    # the default --load path (load_history=False) keeps the LIVE sharded
+    # histories — must not crash trying to host-fetch them (regression:
+    # global_put passes committed global arrays through)
+    tr.load(load_history=False)
+    loss_resumed2, _, _, _ = tr.train_epoch()
 
     with open(out_path, "w") as f:
         json.dump({"process": proc, "losses": losses, "val_loss": vloss,
                    "val_acc": vacc, "micro": micro,
-                   "loss_resumed": loss_resumed}, f)
+                   "loss_resumed": loss_resumed,
+                   "loss_resumed_nohist": loss_resumed2}, f)
     print("worker", proc, "done", flush=True)
 
 

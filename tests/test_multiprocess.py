@@ -57,6 +57,10 @@ def test_two_process_training_matches_single_process(tmp_path):
     np.testing.assert_allclose(res[0]["loss_resumed"],
                                res[1]["loss_resumed"], rtol=1e-5)
     assert np.isfinite(res[0]["loss_resumed"])
+    # default --load path (live sharded histories kept) also works
+    np.testing.assert_allclose(res[0]["loss_resumed_nohist"],
+                               res[1]["loss_resumed_nohist"], rtol=1e-5)
+    assert np.isfinite(res[0]["loss_resumed_nohist"])
 
     # and the 2-process mesh reproduces the single-process 8-device run
     # (same seeds -> same batches -> same math, collectives aside)
