@@ -105,6 +105,14 @@ def main():
         bm = jnp.asarray(ids)
         print(f"--- batch {batch} (uniform deg=1 CV schedule) ---",
               flush=True)
+        # production schedule() — current compact_field (candidate-scatter
+        # rank inversion); the local "full" copy below keeps the OLD
+        # searchsorted inversion for A/B
+        prod = lambda key, b, graph, degree: S.schedule(  # noqa: E731
+            key, graph, b, [degree], cv=True)
+        ms = scan_time(prod, bm, (g, 1), steps)
+        print(f"  {'production schedule()':28s} {ms:6.3f} ms/step",
+              flush=True)
         for name, skip in (
                 ("full", ()),
                 ("no searchsorted", ("searchsorted",)),

@@ -265,20 +265,29 @@ def compact_field(field_out: jax.Array, new_ids: jax.Array, num_nodes: int,
     """
     n = num_nodes
     f = field_out.shape[0]
+    cand = new_ids.reshape(-1)
     arange_f = jnp.arange(f, dtype=jnp.int32)
-    pos_table = jnp.zeros(n + 1, jnp.int32).at[field_out].set(arange_f)
-    seen = jnp.zeros(n + 1, bool).at[field_out].set(True).at[n].set(True)
-    occurs = jnp.zeros(n + 1, bool).at[new_ids.reshape(-1)].set(True)
-    new_mask = occurs & ~seen
+    # ONE mask buffer: set candidates, then clear already-seen (field_out)
+    # and sentinel rows — equivalent to occurs & ~seen with one fewer O(N)
+    # scatter + AND pass
+    new_mask = (jnp.zeros(n + 1, bool).at[cand].set(True)
+                .at[field_out].set(False).at[n].set(False))
     cum = jnp.cumsum(new_mask.astype(jnp.int32))
+    pos_table = jnp.zeros(n + 1, jnp.int32).at[field_out].set(arange_f)
     pos_table = jnp.where(new_mask, f + cum - 1, pos_table)
 
-    # Invert rank -> node id with a vectorized binary search over the
-    # monotone cumsum instead of an N-sized scatter (an N-update scatter
-    # lowers to a serial loop on TPU and wrecks both compile and run time).
-    ranks = jnp.arange(1, capacity - f + 1, dtype=cum.dtype)
-    new_by_rank = jnp.searchsorted(cum, ranks, side="left").astype(jnp.int32)
-    new_by_rank = jnp.minimum(new_by_rank, n)  # ranks past the count -> N
+    # Invert rank -> node id with a CANDIDATE-sized scatter: new candidate
+    # v has rank cum[v]-1 among new ids, so scatter each new candidate to
+    # its rank slot (duplicates carry identical values; min is a safe
+    # dedup).  ~3 candidate-sized ops instead of a binary search whose
+    # log2(N) ≈ 18 dependent element gathers PER RANK are issue-bound
+    # (~18·F lookups; the old searchsorted was ~0.5 ms at batch 4096).
+    # An N-sized scatter remains off the table (serial lowering on TPU).
+    is_new = jnp.take(new_mask, cand)
+    rank = jnp.take(cum, cand) - 1
+    tgt = jnp.where(is_new, rank, capacity - f)          # OOB -> dropped
+    new_by_rank = jnp.full((capacity - f,), n, jnp.int32).at[tgt].min(
+        cand.astype(jnp.int32), mode="drop")
     field_in = jnp.concatenate([field_out, new_by_rank])
     return field_in, pos_table
 

@@ -56,6 +56,34 @@ def test_compact_field_prefix_and_dedup():
     assert pos[7] == 1 and pos[11] == 2 and pos[2] == 4 and pos[5] == 5
 
 
+def test_compact_field_matches_numpy_oracle():
+    """Randomized equivalence of the candidate-scatter compaction against
+    a direct numpy model (dedup, node-id-order append, sentinel padding,
+    position table) — guards the rank-inversion rewrite."""
+    rng = np.random.default_rng(5)
+    for trial in range(20):
+        n = int(rng.integers(10, 200))
+        f = int(rng.integers(1, 16))
+        k = int(rng.integers(1, 5))
+        field_out = rng.choice(n, size=f, replace=False).astype(np.int32)
+        npad = int(rng.integers(0, 3))
+        field_out[f - npad:] = n                     # sentinel tail
+        new_ids = rng.integers(0, n + 1, size=(f, k)).astype(np.int32)
+        cap = f + min(f * k, n)
+        got_f, got_p = jax.jit(compact_field, static_argnums=(2, 3))(
+            jnp.asarray(field_out), jnp.asarray(new_ids), n, cap)
+        got_f, got_p = np.asarray(got_f), np.asarray(got_p)
+        seen = set(field_out.tolist()) | {n}
+        new = sorted(set(new_ids.reshape(-1).tolist()) - seen)
+        exp = np.full(cap, n, np.int32)
+        exp[:f] = field_out
+        exp[f:f + len(new)] = new
+        np.testing.assert_array_equal(got_f, exp, err_msg=f"trial {trial}")
+        for p_, v in enumerate(exp[:f + len(new)]):
+            if v != n:
+                assert got_p[v] == p_, (trial, v)
+
+
 def test_field_capacities_cap_at_n():
     caps = field_capacities(100, [20, 20], num_nodes=50, pad_degree=30)
     # input side first; capacity never exceeds F + N
