@@ -321,9 +321,10 @@ def compact_field_aligned(field_out: jax.Array, new_ids: jax.Array,
     from ..parallel.mesh import shard_rows
     n_loc = shard_rows(n, p) // p
 
+    cand = jnp.concatenate(
+        [field_out, new_ids.reshape(-1)]).astype(jnp.int32)     # [C]
     present = (jnp.zeros(n + 1, bool)
-               .at[field_out].set(True)
-               .at[new_ids.reshape(-1)].set(True)
+               .at[cand].set(True)
                .at[n].set(False))
     cum = jnp.cumsum(present.astype(jnp.int32))      # inclusive id ranks
     # present-id count before each ownership block (last block runs to n)
@@ -337,23 +338,39 @@ def compact_field_aligned(field_out: jax.Array, new_ids: jax.Array,
     qs = s // cap_b
     r = s % cap_b
     main_ok = r < used_q[qs]
-    # slot (q, r) holds the (cnt_before[q] + r + 1)-th present id
-    want = cnt_before[qs] + r + 1
-    main_id = jnp.minimum(
-        jnp.searchsorted(cum, want, side="left"), n).astype(jnp.int32)
 
-    # overflow ids (within-block rank past the block cap) -> free slots
+    # Rank -> slot inversion by CANDIDATE-sized scatters (same design as
+    # compact_field: the old per-slot searchsorted did log2(N) dependent
+    # element gathers for each of `capacity` slots, twice).  A present
+    # candidate with within-block rank rw (1-based) lands at slot
+    # own*cap_b + rw-1 when rw <= cap_b; duplicates carry identical
+    # values, so .min dedups.
+    is_p = jnp.take(present, cand)
+    own_c = jnp.minimum(cand // n_loc, p - 1)
+    g = jnp.take(cum, cand)                          # global rank, 1-based
+    rw = g - jnp.take(cnt_before, own_c)
+    main_tgt = jnp.where(is_p & (rw <= cap_b),
+                         own_c * cap_b + rw - 1, capacity)
+    field_in = jnp.full((capacity,), n, jnp.int32).at[main_tgt].min(
+        cand, mode="drop")
+
+    # overflow ids (within-block rank past the block cap) -> free slots,
+    # ascending ov rank into ascending free-slot order
     own = jnp.minimum(jnp.arange(n + 1, dtype=jnp.int32) // n_loc, p - 1)
     rank_within = cum - cnt_before[own]
     ov = present & (rank_within > cap_b)
     cum_ov = jnp.cumsum(ov.astype(jnp.int32))
     free = ~main_ok
     freerank = jnp.cumsum(free.astype(jnp.int32))    # 1-based among frees
-    ov_id = jnp.minimum(
-        jnp.searchsorted(cum_ov, freerank, side="left"), n).astype(jnp.int32)
-    fill = free & (freerank <= cum_ov[-1])
-
-    field_in = jnp.where(main_ok, main_id, jnp.where(fill, ov_id, n))
+    # inv_free[o-1] = slot index of the o-th free slot (capacity-sized)
+    inv_free = jnp.full((capacity,), capacity, jnp.int32).at[
+        jnp.where(free, freerank - 1, capacity)].min(s, mode="drop")
+    ov_rank = jnp.take(cum_ov, cand)                 # 1-based among ov ids
+    is_ov = is_p & (rw > cap_b)
+    ov_tgt = jnp.where(
+        is_ov, jnp.take(inv_free, jnp.minimum(ov_rank - 1, capacity - 1)),
+        capacity)
+    field_in = field_in.at[ov_tgt].min(cand, mode="drop")
     pos_table = jnp.zeros(n + 1, jnp.int32).at[field_in].set(s)
     return field_in, pos_table
 
