@@ -121,6 +121,14 @@ def main():
                     help="comma-separated subset of the grid to run "
                          "(e.g. Exact,CVPP,CVDPP); Exact is always "
                          "included as the parity anchor")
+    ap.add_argument("--dp", type=int, default=1,
+                    help="run every algo through the SHARDED multi-chip "
+                         "path (dp-way mesh, node-sharded tables, halo "
+                         "exchange) — validates multi-chip training at "
+                         "the accuracy-band level, not just step parity")
+    ap.add_argument("--owner_batching", action="store_true",
+                    help="with --dp: partition-aware batching + "
+                         "owner-aligned fields + rcm relabeling")
     args = ap.parse_args()
     if args.algos:
         keep = set(a.strip() for a in args.algos.split(",")) | {"Exact"}
@@ -145,9 +153,17 @@ def main():
     # ---- Cora replica (Planetoid format, gcn normalization) -------------
     log("Cora replica (reference recipe = defaults):")
     cora_dir = build_cora_replica(args.tmp)
+    shard_over = {}
+    if args.dp > 1:
+        shard_over = dict(dp=args.dp, owner_batching=args.owner_batching,
+                          partition_nodes="rcm" if args.owner_batching
+                          else "none")
     base = Config(dataset="cora", data_dir=cora_dir, test_degree=10000,
                   epochs=200, early_stopping=10, seed=1,
-                  history_dtype=args.history_dtype)
+                  history_dtype=args.history_dtype,
+                  batch_size=1000 - 1000 % max(1, args.dp),
+                  test_batch_size=1000 - 1000 % max(1, args.dp),
+                  **shard_over)
     ds = L.load_gcn_data("cora", base)
     results["cora_replica"] = run_grid(
         lambda **ov: base.replace(**ov), ds, log, seeds=(1, 2, 3))
@@ -160,7 +176,7 @@ def main():
                       batch_size=256, test_batch_size=256, hidden1=64,
                       num_fc_layers=2, test_degree=10000, epochs=200,
                       early_stopping=50, seed=1,
-                      history_dtype=args.history_dtype)
+                      history_dtype=args.history_dtype, **shard_over)
     ds_ppi = L.load_graphsage_data(prefix, base_ppi)
     results["ppi_replica"] = run_grid(
         lambda **ov: base_ppi.replace(**ov), ds_ppi, log, seeds=(1, 2, 3))

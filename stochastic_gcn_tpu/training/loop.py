@@ -69,14 +69,25 @@ class Trainer:
             # locality-improving node relabeling so contiguous-block
             # row-sharding keeps most receptive-field rows on their batch
             # node's owner chip (pairs with --owner_batching); pure
-            # permutation — semantics unchanged
+            # permutation — semantics unchanged.  The relabeling is an
+            # INTERNAL layout detail: every public id surface (evaluate,
+            # the ds.*_d splits, gradient_variance) stays in the caller's
+            # ORIGINAL id space and is mapped at entry via _to_internal.
+            import dataclasses as _dc
             from ..data.preprocess import locality_permutation, \
                 relabel_dataset
             self.node_perm = locality_permutation(ds.full_adj,
                                                   cfg.partition_nodes)
+            self._id_to_internal = np.empty(ds.num_data, np.int32)
+            self._id_to_internal[self.node_perm] = np.arange(
+                ds.num_data, dtype=np.int32)
+            orig_splits = (ds.train_d, ds.val_d, ds.test_d)
             ds = relabel_dataset(ds, self.node_perm)
+            ds = _dc.replace(ds, train_d=orig_splits[0],
+                             val_d=orig_splits[1], test_d=orig_splits[2])
         else:
             self.node_perm = None
+            self._id_to_internal = None
         self.cfg = cfg
         self.ds = ds
         n = ds.num_data
@@ -210,8 +221,8 @@ class Trainer:
                                                    self.train_degrees, n)
             self._eval_epoch = S.make_eval_epoch(cfg, self.test_spec,
                                                  self.test_degrees, n)
-        self.train_iter = MinibatchIterator(ds.train_d, cfg.batch_size, n,
-                                            cfg.seed)
+        self.train_iter = MinibatchIterator(
+            self._to_internal(ds.train_d), cfg.batch_size, n, cfg.seed)
         self.cost_val: list[float] = []
         self.amt_data = 0
         self.epoch_stats = {}
@@ -228,6 +239,15 @@ class Trainer:
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub
+
+    def _to_internal(self, ids):
+        """Map caller-space node ids to the internal (relabeled) id space
+        (identity without --partition_nodes).  All public id surfaces —
+        evaluate, the ds.*_d splits, gradient_variance — speak ORIGINAL
+        ids; the permutation is a private multi-chip layout detail."""
+        if self._id_to_internal is None:
+            return ids
+        return self._id_to_internal[np.asarray(ids, np.int64)]
 
     @staticmethod
     def _batch_matrix(ids, batch_size: int, num_nodes: int):
@@ -290,7 +310,7 @@ class Trainer:
         cfg = self.cfg
         t0 = time.time()
         n = self.ds.num_data
-        data_ids = np.asarray(data_ids, np.int32)
+        data_ids = np.asarray(self._to_internal(data_ids), np.int32)
         bm = self._epoch_matrix(data_ids, cfg.test_batch_size)
         self.eval_histories, out = self._eval_epoch(
             self._eval_params(), self.eval_histories, self.graph_full,
@@ -377,7 +397,8 @@ class Trainer:
         cfg = self.cfg
         n = self.ds.num_data
         batch = MinibatchIterator.pad_batch(
-            self.ds.train_d[:cfg.batch_size], cfg.batch_size, n)
+            self._to_internal(self.ds.train_d[:cfg.batch_size]),
+            cfg.batch_size, n)
         batch = jnp.asarray(batch)
 
         full_fn = S.make_pred_and_grad(cfg, self.test_spec,

@@ -487,11 +487,25 @@ def test_partition_nodes_relabel_preserves_eval(setup):
     t0 = Trainer(exact, ds)
     t1 = Trainer(exact.replace(partition_nodes="rcm"), ds)
     l0, a0, mi0, ma0, _ = t0.evaluate(ds.val_d)
-    # relabeled trainer evaluates the RELABELED val ids (its own ds)
-    l1, a1, mi1, ma1, _ = t1.evaluate(t1.ds.val_d)
+    # the public id surface speaks ORIGINAL ids regardless of the internal
+    # relabeling (regression: external callers used to silently evaluate
+    # the wrong nodes under --partition_nodes)
+    l1, a1, mi1, ma1, _ = t1.evaluate(ds.val_d)
     assert a0 == pytest.approx(a1, abs=1e-6)
     assert l0 == pytest.approx(l1, rel=1e-5)
     assert mi0 == pytest.approx(mi1, abs=1e-6)
+    # trainer-internal splits are original-space too (callers may mix)
+    l2, a2, *_ = t1.evaluate(t1.ds.val_d)
+    assert a2 == pytest.approx(a0, abs=1e-6)
+    # partial batch + owner batching + rcm: the combination that broke
+    val19 = ds.val_d[:19]
+    l3, a3, mi3, _, _ = t0.evaluate(val19)
+    t2 = Trainer(exact.replace(partition_nodes="rcm", dp=8,
+                               owner_batching=True, test_batch_size=32),
+                 ds)
+    l4, a4, mi4, _, _ = t2.evaluate(val19)
+    assert a4 == pytest.approx(a3, abs=1e-6)
+    assert l4 == pytest.approx(l3, rel=1e-4)
 
 
 def test_trainer_owner_batching_end_to_end(setup):
