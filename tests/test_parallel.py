@@ -508,6 +508,24 @@ def test_partition_nodes_relabel_preserves_eval(setup):
     assert l4 == pytest.approx(l3, rel=1e-4)
 
 
+def test_importance_dp_and_row_table_parity(setup):
+    """IS (--importance) trajectories are identical across dp=1, dp=8
+    (sharded tables, halo gathers over the [N+1, Dcap] row table) and the
+    --is_row_table hoist."""
+    _, ds = setup
+    res = {}
+    for name, kw in (("dp1", dict()), ("dp8", dict(dp=8)),
+                     ("dp8_rt", dict(dp=8, is_row_table=True))):
+        cfg = Config(dataset="synthetic", batch_size=32, degree=2,
+                     test_degree=2, importance=True, test_importance=True,
+                     hidden1=16, normalization="graphsage", layer_norm=True,
+                     dropout=0.0, weight_decay=0.0, seed=1, **kw)
+        tr = Trainer(cfg, ds)
+        res[name] = [tr.train_epoch()[0] for _ in range(2)]
+    np.testing.assert_allclose(res["dp1"], res["dp8"], rtol=1e-4)
+    np.testing.assert_allclose(res["dp1"], res["dp8_rt"], rtol=1e-4)
+
+
 def test_trainer_owner_batching_end_to_end(setup):
     """dp=8 + owner_batching + partition_nodes trains and evaluates; the
     epoch matrix covers every train id exactly once."""
