@@ -42,14 +42,9 @@ def fanout_gather(x: jax.Array, slot_pos: jax.Array,
     which differentiates exactly: gather/scatter transpose locally,
     all_to_all is its own transpose) moves only the spill rows.
     """
-    if mesh is not None:
-        from ..parallel.halo import halo_tiles, row_gather
-        flat = slot_pos.reshape(-1)
-        if halo_tiles(x, flat, mesh):
-            g = row_gather(x, flat, mesh).reshape(slot_pos.shape + x.shape[1:])
-            return jnp.einsum("fk,fkd->fd", slot_w, g)
-    g = jnp.take(x, slot_pos, axis=0)          # [F, k, d]
-    return jnp.einsum("fk,fkd->fd", slot_w, g)
+    g = row_gather(x, slot_pos.reshape(-1), mesh)       # [F*k, d]
+    return jnp.einsum("fk,fkd->fd", slot_w,
+                      g.reshape(slot_pos.shape + x.shape[1:]))
 
 
 def full_neighborhood_mean_halo(hist: jax.Array, fnbr: jax.Array,
@@ -170,11 +165,7 @@ def _self_rows(x: jax.Array, ls: LayerSample, mesh=None) -> jax.Array:
     GSPMD lowering all-reduces the full [F, d] result."""
     if ls.self_pos is None:
         return x[:ls.slot_pos.shape[0]]
-    if mesh is not None:
-        from ..parallel.halo import halo_tiles, row_gather
-        if halo_tiles(x, ls.self_pos, mesh):
-            return row_gather(x, ls.self_pos, mesh)
-    return jnp.take(x, ls.self_pos, axis=0)
+    return row_gather(x, ls.self_pos, mesh)
 
 
 def plain_aggregate(inputs, ls: LayerSample, normalization: str, mesh=None):

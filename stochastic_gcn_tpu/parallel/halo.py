@@ -46,7 +46,7 @@ when no mesh is given or the shapes do not tile evenly over it.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 
@@ -139,8 +139,8 @@ def owner_routed(table: jax.Array, ids: jax.Array, extras, partial_fn, mesh):
                      axis_names={axis})(table, ids, *extras)
 
 
-def _fetch_or_psum_gather(table: jax.Array, ids: jax.Array, mesh,
-                          cap_mult: Optional[float] = None) -> jax.Array:
+def _fetch_or_psum_gather(table: jax.Array, ids: jax.Array,
+                          mesh) -> jax.Array:
     """``table[ids]`` over a row-sharded table: fetch-routed transport with
     an in-graph exact psum fallback.
 
@@ -160,8 +160,7 @@ def _fetch_or_psum_gather(table: jax.Array, ids: jax.Array, mesh,
     r_tot = table.shape[0]
     n_loc = r_tot // p
     c_loc = ids.shape[0] // p
-    cap = scatter_capacity(ids.shape[0], p,
-                           gcap if cap_mult is None else cap_mult)
+    cap = scatter_capacity(ids.shape[0], p, gcap)
     dt = table.dtype
     d = int(np.prod(table.shape[1:], dtype=np.int64)) if table.ndim > 1 else 1
     t2 = table.reshape(r_tot, d)

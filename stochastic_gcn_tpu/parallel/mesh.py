@@ -86,8 +86,9 @@ def _halo_spec(cfg, mesh: Mesh):
     owner-aligned batching (requests are ~97-100% chip-local, so the
     fetch spill buffers shrink 4x; overflow falls back in-graph to the
     exact psum path, so any capacity is safe)."""
-    from .halo import HaloSpec
-    gcap = cfg.gather_cap_mult or (0.5 if cfg.owner_batching else 2.0)
+    from .halo import GATHER_CAP_MULT, HaloSpec
+    gcap = cfg.gather_cap_mult or (0.5 if cfg.owner_batching
+                                   else GATHER_CAP_MULT)
     return HaloSpec(mesh, gcap)
 
 
