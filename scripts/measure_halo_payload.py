@@ -121,6 +121,19 @@ def collective_bytes(hlo_text: str, p: int):
     no-overflow fetch path); while bodies are counted once."""
     comps, entry = _parse_computations(hlo_text)
 
+    def group_size(line):
+        """Replica-group size of a collective (ring factor base); falls
+        back to the full mesh.  Handles both the iota form
+        ``replica_groups=[4,2]<=[8]`` (4 groups of 2) and the literal form
+        ``replica_groups={{0,1,2,3},{...}}``."""
+        m = re.search(r"replica_groups=\[(\d+),(\d+)\]", line)
+        if m:
+            return max(1, int(m.group(2)))
+        m = re.search(r"replica_groups=\{\{([^}]*)\}", line)
+        if m and m.group(1).strip():
+            return len(m.group(1).split(","))
+        return p
+
     def op_bytes(line):
         m = re.match(r"\S+ = (\(?[^)]*\)?) (\S+?)\(", line)
         if not m:
@@ -131,12 +144,15 @@ def collective_bytes(hlo_text: str, p: int):
         if op not in COLLECTIVES:
             return {}
         b = shape_bytes(m.group(1))
+        g = group_size(line)
+        if g <= 1:
+            return {}
         if op == "all-reduce":
-            b = 2 * b * (p - 1) // p
+            b = 2 * b * (g - 1) // g
         elif op == "reduce-scatter":
-            b = b * (p - 1)
+            b = b * (g - 1)
         else:
-            b = b * (p - 1) // p
+            b = b * (g - 1) // g
         return {op: b}
 
     memo = {}
@@ -165,23 +181,27 @@ def collective_bytes(hlo_text: str, p: int):
 
 
 def lower_step(n_nodes: int, batch: int, n_dev: int, shard_graph: bool,
-               halo: bool, fetch: bool = True, owner: bool = False):
+               halo: bool, fetch: bool = True, owner: bool = False,
+               tp: int = 1):
     from stochastic_gcn_tpu.parallel import halo as H
     H.FETCH_GATHER = fetch
-    return _lower_step(n_nodes, batch, n_dev, shard_graph, halo, owner)
+    return _lower_step(n_nodes, batch, n_dev, shard_graph, halo, owner, tp)
 
 
 def _lower_step(n_nodes: int, batch: int, n_dev: int, shard_graph: bool,
-                halo: bool, owner: bool = False):
+                halo: bool, owner: bool = False, tp: int = 1):
     ds = synthetic_dataset(num_nodes=n_nodes, feature_dim=64, num_classes=8,
                            avg_degree=8, seed=0, normalization="graphsage")
+    dp = n_dev // tp
     cfg = Config(dataset="synthetic", batch_size=batch, degree=1,
                  test_degree=1, cv=True, test_cv=True, hidden1=64,
                  normalization="graphsage", layer_norm=True, dropout=0.2,
                  weight_decay=0.0, seed=1, halo_exchange=halo,
-                 owner_batching=owner, dp=n_dev if owner else 0)
+                 owner_batching=owner, tp=tp,
+                 dp=dp if (owner or tp > 1) else 0)
     tr = Trainer(cfg, ds)
-    mesh = make_mesh(n_dev)
+    n_dev = dp
+    mesh = make_mesh(dp, tp=tp)
     if shard_graph:
         data = (pad_graph_rows(tr.graph_train, n_dev),
                 pad_features_rows(tr.train_features, n_dev),
@@ -212,13 +232,15 @@ def main():
           "bytes per step, executed path)")
     for n_nodes in (4096, 16384):
         print(f"\n--- N={n_nodes} ---")
-        for name, sg, halo, fetch, owner in (
-                ("repl-data       ", False, True, True, False),
-                ("shard-data      ", True, True, True, False),
-                ("shard-data-owner", True, True, True, True),
-                ("shard-data-psum ", True, True, False, False),
-                ("shard-data-gspmd", True, False, True, False)):
-            txt = lower_step(n_nodes, batch, n_dev, sg, halo, fetch, owner)
+        for name, sg, halo, fetch, owner, tp in (
+                ("repl-data       ", False, True, True, False, 1),
+                ("shard-data      ", True, True, True, False, 1),
+                ("shard-data-owner", True, True, True, True, 1),
+                ("shard-data-tp2  ", True, True, True, False, 2),
+                ("shard-data-psum ", True, True, False, False, 1),
+                ("shard-data-gspmd", True, False, True, False, 1)):
+            txt = lower_step(n_nodes, batch, n_dev, sg, halo, fetch, owner,
+                             tp)
             per = collective_bytes(txt, n_dev)
             tot = sum(per.values())
             detail = " ".join(f"{k}={v/1e6:.2f}MB" for k, v in
