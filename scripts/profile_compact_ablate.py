@@ -70,8 +70,8 @@ def compact_ablate(field_out, new_ids, num_nodes, capacity, skip):
     return field_in, pos_table
 
 
-def make_schedule(skip=()):
-    def sched(key, batch_ids, graph, degree):
+def make_schedule(skip=(), degree=1):
+    def sched(key, batch_ids, graph):
         n = graph.num_nodes
         caps = S.field_capacities(batch_ids.shape[0], [degree], n,
                                   graph.pad_degree)
@@ -108,9 +108,9 @@ def main():
         # production schedule() — current compact_field (candidate-scatter
         # rank inversion); the local "full" copy below keeps the OLD
         # searchsorted inversion for A/B
-        prod = lambda key, b, graph, degree: S.schedule(  # noqa: E731
-            key, graph, b, [degree], cv=True)
-        ms = scan_time(prod, bm, (g, 1), steps)
+        prod = lambda key, b, graph: S.schedule(  # noqa: E731
+            key, graph, b, [1], cv=True)
+        ms = scan_time(prod, bm, (g,), steps)
         print(f"  {'production schedule()':28s} {ms:6.3f} ms/step",
               flush=True)
         for name, skip in (
@@ -121,7 +121,7 @@ def main():
                 ("no slot_pos lookup", ("slotpos",)),
                 ("expand only (no compact)", ("compact", "slotpos")),
         ):
-            ms = scan_time(make_schedule(skip), bm, (g, 1), steps)
+            ms = scan_time(make_schedule(skip), bm, (g,), steps)
             print(f"  {name:28s} {ms:6.3f} ms/step", flush=True)
 
 
