@@ -129,6 +129,14 @@ def main():
     ap.add_argument("--owner_batching", action="store_true",
                     help="with --dp: partition-aware batching + "
                          "owner-aligned fields + rcm relabeling")
+    ap.add_argument("--graph_format", default="padded",
+                    choices=["padded", "edgelist"],
+                    help="edgelist validates the flat-CSR layout "
+                         "end-to-end against the same bands")
+    ap.add_argument("--fadj_edge_mult", type=float, default=0.0,
+                    help="edgelist full-term row budget override (0 = "
+                         "config default); set high enough to cover every "
+                         "row for an exact full term")
     args = ap.parse_args()
     if args.algos:
         keep = set(a.strip() for a in args.algos.split(",")) | {"Exact"}
@@ -153,9 +161,11 @@ def main():
     # ---- Cora replica (Planetoid format, gcn normalization) -------------
     log("Cora replica (reference recipe = defaults):")
     cora_dir = build_cora_replica(args.tmp)
-    shard_over = {}
+    shard_over = {"graph_format": args.graph_format}
+    if args.fadj_edge_mult:
+        shard_over["fadj_edge_mult"] = args.fadj_edge_mult
     if args.dp > 1:
-        shard_over = dict(dp=args.dp, owner_batching=args.owner_batching,
+        shard_over.update(dp=args.dp, owner_batching=args.owner_batching,
                           partition_nodes="rcm" if args.owner_batching
                           else "none")
     base = Config(dataset="cora", data_dir=cora_dir, test_degree=10000,
