@@ -154,11 +154,40 @@ def run_convergence(cfg, base, target_f1=0.40, max_epochs=150):
     }
 
 
+def device_health_probe(timeout_s: int = 600) -> bool:
+    """Run a trivial device op in a SUBPROCESS under a timeout.
+
+    The axon tunnel can wedge for hours (every device op hangs at 0% CPU,
+    uninterruptible in-process); probing in a child keeps this process
+    able to report.  The generous timeout absorbs the legitimate one-time
+    device->host fetch stall."""
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((128, 128));"
+            "print('ok', float((x @ x)[0, 0]))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0 and b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
     import jax.numpy as jnp
     from stochastic_gcn_tpu.config import Config
     from stochastic_gcn_tpu.training.loop import Trainer
+
+    if not device_health_probe():
+        # emit a diagnostic record instead of hanging the driver forever
+        print(json.dumps({
+            "metric": "reddit_like_cvpp_deg1_sampled_edges_per_s",
+            "value": None, "unit": "edges/s", "vs_baseline": None,
+            "error": "device tunnel unresponsive (trivial matmul probe "
+                     "timed out); see PERF.md / verify skill for the "
+                     "outage pattern"}))
+        sys.exit(2)
 
     t0 = time.time()
     ds = build_reddit_like()
