@@ -110,6 +110,25 @@ class Config:
     # [N, Dcap] f32 (+50% of the padded graph's HBM) during IS epochs;
     # default off, enable for batch >= ~2k.
     is_row_table: bool = False
+    # Dedup-compact each receptive field (the reference's `visited` map,
+    # scheduler.cpp:48-52).  --nofield_dedup appends sampled neighbor ids
+    # to the field WITHOUT dedup: duplicate ids occupy separate positions
+    # and recompute identical values (static capacities make this free
+    # whenever F*degree <= N — the capacity clamp never bound), while the
+    # scheduler's O(N) cumsum/mask compaction passes (~45% of the headline
+    # step at batch 4096, PERF.md roofline) disappear entirely; slot
+    # positions become a trace-time iota.  Estimator deviation vs dedup:
+    # each duplicate position expands its OWN neighbor sample (and dropout
+    # mask) below it where the reference's `visited` map shares one sample
+    # per node — every position remains an iid unbiased estimate of the
+    # same activation, so unbiasedness and CV->exact-at-full-degree are
+    # preserved (tests/test_field_dedup.py); the trajectory is a different
+    # (equally distributed) sample stream than dedup's, identical only at
+    # the first expansion.  Forced ON under --importance (slots address
+    # the selected union by id) and with a mesh (owner-routed transports
+    # assume unique field rows); in Exact mode capacity grows as
+    # F*max_degree without the N clamp.
+    field_dedup: bool = True
     # Number of devices along the data-parallel mesh axis (1 = single chip).
     dp: int = 1
     # Devices along a tensor-parallel 'model' mesh axis (total chips =

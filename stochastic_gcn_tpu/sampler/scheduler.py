@@ -84,7 +84,7 @@ class BatchFields:
 
 def field_capacities(batch_size: int, degrees: Sequence[int], num_nodes: int,
                      pad_degree: int, importance: bool = False,
-                     round_multiple: int = 1) -> list[int]:
+                     round_multiple: int = 1, dedup: bool = True) -> list[int]:
     """Static field capacities, input side first (index 0 = layer-0 field).
 
     ``round_multiple`` rounds every capacity up to a multiple (sentinel
@@ -92,14 +92,20 @@ def field_capacities(batch_size: int, degrees: Sequence[int], num_nodes: int,
     ``round_multiple``-way mesh — otherwise the halo-exchange lowering in
     models/aggregators.py silently falls back to GSPMD's all-gather path
     whenever the ``min(f*k, num_nodes)`` clamp produces a non-dividing
-    capacity."""
+    capacity.
+
+    ``dedup=False`` (cfg.field_dedup off) sizes fields for the append-only
+    no-dedup layout: every sampled slot keeps its own position, so the
+    capacity is exactly ``f + f*k`` without the ``num_nodes`` clamp —
+    identical to the dedup capacity whenever ``f*k <= num_nodes``."""
     m = max(1, int(round_multiple))
     caps = [batch_size]
     # walk top-down (reference expands degrees[L-1], ..., degrees[0])
     for degree in reversed(list(degrees)):
         k = degree if importance else min(degree, pad_degree)
         f = caps[-1]
-        caps.append(-(-(f + min(f * k, num_nodes)) // m) * m)
+        new = f * k if not dedup else min(f * k, num_nodes)
+        caps.append(-(-(f + new) // m) * m)
     caps.reverse()
     return caps
 
@@ -292,6 +298,41 @@ def compact_field(field_out: jax.Array, new_ids: jax.Array, num_nodes: int,
     return field_in, pos_table
 
 
+def append_field(field_out: jax.Array, new_ids: jax.Array, num_nodes: int,
+                 capacity: int):
+    """No-dedup field layout (cfg.field_dedup off): the input field is
+    literally ``field_out ++ new_ids.ravel()`` (sentinel-padded to
+    ``capacity``), every sampled slot owning its own position —
+    ``slot_pos[f, j] = F + f*k + j`` is a trace-time iota, so the O(N)
+    cumsum/mask compaction passes of :func:`compact_field` (the
+    scheduler's dominant cost, PERF.md roofline: ~45% of the headline
+    step at batch 4096) vanish from the step.
+
+    Duplicate node ids occupy multiple positions, each expanding its OWN
+    neighbor sample (and dropout mask) in the layers below — independent
+    iid estimates of the same activation, where dedup (the reference's
+    `visited` map, scheduler.cpp:48-52) shares one sample per node.  Same
+    estimator expectation, a documented variance-structure deviation; the
+    values coincide exactly only when expansion is exhaustive (Exact
+    mode / degree >= max_degree, dropout off).  Compute cost is unchanged
+    at static capacities whenever ``F*k <= N`` (the dedup capacity's
+    clamp never bound, so the dense layers run over the same row count
+    either way).  The prefix invariant holds by construction.
+
+    Returns (field_in [capacity], slot_pos [F, k])."""
+    n = num_nodes
+    f, k = new_ids.shape
+    flat = new_ids.reshape(-1).astype(jnp.int32)
+    pad = capacity - field_out.shape[0] - flat.shape[0]
+    parts = [field_out, flat]
+    if pad:
+        parts.append(jnp.full((pad,), n, jnp.int32))
+    field_in = jnp.concatenate(parts)
+    slot_pos = (field_out.shape[0]
+                + jnp.arange(f * k, dtype=jnp.int32).reshape(f, k))
+    return field_in, slot_pos
+
+
 def compact_field_aligned(field_out: jax.Array, new_ids: jax.Array,
                           num_nodes: int, capacity: int, owner_blocks: int):
     """Owner-ALIGNED variant of :func:`compact_field` (cfg.owner_batching).
@@ -382,7 +423,8 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
              is_approx_topk: bool = True,
              is_recall_target: float = 0.95,
              owner_blocks: int = 0,
-             importance_rows: Optional[jax.Array] = None) -> BatchFields:
+             importance_rows: Optional[jax.Array] = None,
+             dedup: bool = True) -> BatchFields:
     """Build the full receptive field for one minibatch.
 
     Equivalent of ``PyScheduler.batch`` (gcn/_scheduler.pyx:55-127): expands
@@ -395,14 +437,21 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
     ``cfg.owner_batching`` on a mesh; the sampled-edge SET is identical to
     the classic layout, only field positions differ.
 
+    ``dedup=False`` (cfg.field_dedup off) selects the append-only
+    :func:`append_field` layout — forced back to dedup under importance
+    sampling (slots address selected union members by id), owner-aligned
+    layouts, and meshes (owner-routed transports assume unique rows).
+
     Runs entirely on device; intended to be called inside jit.
     """
     n = graph.num_nodes
     degrees = list(degrees)
     num_layers = len(degrees)
+    dedup = (dedup or importance is not None or owner_blocks > 1
+             or mesh is not None)
     caps = field_capacities(batch_ids.shape[0], degrees, n, graph.pad_degree,
                             importance=importance is not None,
-                            round_multiple=round_multiple)
+                            round_multiple=round_multiple, dedup=dedup)
 
     fields = [batch_ids.astype(jnp.int32)]
     layer_samples = []
@@ -427,11 +476,16 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
             field_in, pos_table = compact_field_aligned(field, cand, n, cap,
                                                         owner_blocks)
             self_pos = pos_table[field]
+            slot_pos = pos_table[nbr_id]
+        elif not dedup:
+            field_in, slot_pos = append_field(field, cand, n, cap)
+            self_pos = None
         else:
             field_in, pos_table = compact_field(field, cand, n, cap)
             self_pos = None
+            slot_pos = pos_table[nbr_id]
         layer_samples.append(LayerSample(
-            slot_pos=pos_table[nbr_id], slot_w=slot_w, slot_aw=slot_aw,
+            slot_pos=slot_pos, slot_w=slot_w, slot_aw=slot_aw,
             scales=scales, self_pos=self_pos))
         fields.append(field_in)
         field = field_in

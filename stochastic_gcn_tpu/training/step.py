@@ -62,7 +62,8 @@ def init_train_state(key: jax.Array, cfg: Config, spec: M.ModelSpec,
 
 
 def scatter_histories(histories, new_histories, fields, num_nodes: int,
-                      mesh=None, scatter_cap_mult: float = 2.0):
+                      mesh=None, scatter_cap_mult: float = 2.0,
+                      unique: bool = True):
     """history[field_l] <- new rows for the input-side fields
     ``fields[:-1]`` (``fields`` is the FULL pack.fields tuple — the final
     batch field is not scattered but its size anchors the sorted-segment
@@ -94,7 +95,16 @@ def scatter_histories(histories, new_histories, fields, num_nodes: int,
     ``unique_indices`` contract is violated only for that masked row.
     Fields below SORTED_SCATTER_MIN_ROWS take one plain scatter instead —
     end-to-end the per-segment dispatches cost more than they save at
-    small capacities (A/B table at the constant's definition)."""
+    small capacities (A/B table at the constant's definition).
+
+    ``unique=False`` (the no-dedup field layout, cfg.field_dedup off):
+    fields may repeat ids, so the scatter runs without the
+    ``unique_indices`` contract — duplicate writes race like the
+    reference's tf.scatter_update last-write (SURVEY §7.3 hard part 2);
+    every duplicate carries an independent, equally valid iid sample of
+    the same activation (identical values only under exhaustive
+    expansion with dropout off), so whichever write wins leaves a valid
+    history row."""
     from ..parallel.halo import row_scatter
     out = []
     dropped = jnp.zeros((), jnp.int32)
@@ -110,11 +120,11 @@ def scatter_histories(histories, new_histories, fields, num_nodes: int,
                 h, drop = row_scatter(h, field_l, nh, mesh,
                                       scatter_cap_mult)
                 dropped = dropped + drop
-            elif field_l.shape[0] >= SORTED_SCATTER_MIN_ROWS:
+            elif unique and field_l.shape[0] >= SORTED_SCATTER_MIN_ROWS:
                 h = _segment_sorted_scatter(h, field_l, nh, bounds)
             else:
                 h = h.at[field_l].set(nh.astype(h.dtype),
-                                      unique_indices=True)
+                                      unique_indices=unique)
             updated.append(h)
         out.append(tuple(updated))
     return tuple(out), dropped
@@ -199,6 +209,9 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
     # owner-aligned field layout: every chip's positional chunk of each
     # field holds the node rows that chip owns (see compact_field_aligned)
     owner_blocks = cfg.dp if (cfg.owner_batching and mesh is not None) else 0
+    # fields carry unique ids unless the no-dedup layout is ACTIVE
+    # (schedule() forces dedup back on under importance/mesh)
+    unique_fields = cfg.field_dedup or use_importance or mesh is not None
 
     def _step(state: TrainState, graph: PaddedGraph, features, labels,
               importance, batch_ids, key, importance_rows=None):
@@ -211,7 +224,8 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
                         is_approx_topk=cfg.is_approx_topk,
                         is_recall_target=cfg.is_recall_target,
                         owner_blocks=owner_blocks,
-                        importance_rows=importance_rows)
+                        importance_rows=importance_rows,
+                        dedup=cfg.field_dedup)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = _labels_gather(labels, batch_field, mesh)
@@ -238,7 +252,7 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
             avg_params = state.avg_params
         histories, dropped = scatter_histories(
             state.histories, new_h, pack.fields, num_nodes, mesh=mesh,
-            scatter_cap_mult=cfg.scatter_cap_mult)
+            scatter_cap_mult=cfg.scatter_cap_mult, unique=unique_fields)
         amt, field_sizes, adj_sizes, fadj_sizes = _batch_stats(
             pack, graph, num_nodes, spec.cv)
         new_state = TrainState(params=params, opt_state=opt_state,
@@ -315,6 +329,7 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
     host sync (train.py:133-160 equivalent)."""
     use_importance = cfg.test_importance
     owner_blocks = cfg.dp if (cfg.owner_batching and mesh is not None) else 0
+    unique_fields = cfg.field_dedup or use_importance or mesh is not None
 
     def _eval_one(params, histories, graph, features, labels, importance,
                   batch_ids, key, importance_rows=None):
@@ -326,7 +341,8 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
                         is_approx_topk=cfg.is_approx_topk,
                         is_recall_target=cfg.is_recall_target,
                         owner_blocks=owner_blocks,
-                        importance_rows=importance_rows)
+                        importance_rows=importance_rows,
+                        dedup=cfg.field_dedup)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = _labels_gather(labels, batch_field, mesh)
@@ -339,7 +355,7 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
         tp, fp, fn = device_f1_counts(logits, y, valid, spec.multitask)
         histories, _ = scatter_histories(
             histories, new_h, pack.fields, num_nodes, mesh=mesh,
-            scatter_cap_mult=cfg.scatter_cap_mult)
+            scatter_cap_mult=cfg.scatter_cap_mult, unique=unique_fields)
         return histories, (loss, acc, tp, fp, fn, jnp.sum(valid))
 
     def _epoch(params, histories, graph, features, labels, importance,
@@ -386,6 +402,7 @@ def make_eval_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
     importance, batch_ids, key) -> (metrics, eval_histories')``.
     """
     use_importance = cfg.test_importance
+    unique_fields = cfg.field_dedup or use_importance
 
     def _eval(params, histories, graph: PaddedGraph, features, labels,
               importance, batch_ids, key):
@@ -395,7 +412,8 @@ def make_eval_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
                         importance=importance if use_importance else None,
                         round_multiple=cfg.dp,
                         is_approx_topk=cfg.is_approx_topk,
-                        is_recall_target=cfg.is_recall_target)
+                        is_recall_target=cfg.is_recall_target,
+                        dedup=cfg.field_dedup)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = jnp.take(labels, batch_field, axis=0)
@@ -407,7 +425,8 @@ def make_eval_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
                                        cfg.weight_decay)
         pred = M.predict(spec, logits)
         histories, _ = scatter_histories(histories, new_h,
-                                         pack.fields, num_nodes)
+                                         pack.fields, num_nodes,
+                                         unique=unique_fields)
         return {"loss": loss, "accuracy": acc, "pred": pred,
                 "valid": valid}, histories
 
@@ -430,7 +449,8 @@ def make_pred_and_grad(cfg: Config, spec: M.ModelSpec,
                         importance=importance if use_importance else None,
                         round_multiple=cfg.dp,
                         is_approx_topk=cfg.is_approx_topk,
-                        is_recall_target=cfg.is_recall_target)
+                        is_recall_target=cfg.is_recall_target,
+                        dedup=cfg.field_dedup)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = jnp.take(labels, batch_field, axis=0)
