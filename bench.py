@@ -300,10 +300,47 @@ def main():
         "loss": round(float(metrics["loss"]), 4),
         "device": str(jax.devices()[0]),
     }
+    # no-dedup field layout (--nofield_dedup): the scheduler's O(N)
+    # compaction passes drop out of the step (config.py field_dedup);
+    # same estimator expectation, duplicate field rows.  Measured at both
+    # batch sizes — the compaction share is ~45% of the step at 4096.
+    edges_per_s_nd = edges_per_s_nd_big = None
+    if not fast:
+        for b, s in ((BATCH, 300), (big, 100)):
+            cfg_nd = cfg.replace(batch_size=b, field_dedup=False)
+            tr_nd = Trainer(cfg_nd, ds)
+            def nd_matrix(steps_):
+                ids = np.resize(rng.permutation(ds.train_d).astype(np.int32),
+                                steps_ * b)
+                return jnp.asarray(ids.reshape(steps_, b))
+            tr_nd.state, mnd = tr_nd._train_epoch(
+                tr_nd.state, tr_nd.graph_train, tr_nd.train_features,
+                tr_nd.labels, tr_nd.importance_train, nd_matrix(s),
+                tr_nd._next_key())
+            _ = float(mnd["loss"])
+            amt_nd = 0
+            t0 = time.time()
+            for _ in range(3):
+                tr_nd.state, mnd = tr_nd._train_epoch(
+                    tr_nd.state, tr_nd.graph_train, tr_nd.train_features,
+                    tr_nd.labels, tr_nd.importance_train, nd_matrix(s),
+                    tr_nd._next_key())
+                amt_nd += int(mnd["amt_data"])
+            eps = amt_nd / (time.time() - t0)
+            if b == BATCH:
+                edges_per_s_nd = eps
+            else:
+                edges_per_s_nd_big = eps
+            del tr_nd, mnd
+
     if edges_per_s_big is not None:
         result["edges_per_s_batch4096"] = round(edges_per_s_big, 1)
         result["vs_baseline_batch4096"] = round(
             edges_per_s_big / REFERENCE_EDGES_PER_S_B4096, 3)
+    if edges_per_s_nd is not None:
+        result["edges_per_s_nodedup"] = round(edges_per_s_nd, 1)
+    if edges_per_s_nd_big is not None:
+        result["edges_per_s_nodedup_batch4096"] = round(edges_per_s_nd_big, 1)
     if not fast:
         # second north-star metric: epochs/time to target micro-F1
         # (free the throughput trainers' HBM first)

@@ -113,6 +113,13 @@ def main():
         ms = scan_time(prod, bm, (g,), steps)
         print(f"  {'production schedule()':28s} {ms:6.3f} ms/step",
               flush=True)
+        # production no-dedup layout (--nofield_dedup): append_field, no
+        # O(N) compaction at all — the shipping version of this ablation
+        nd = lambda key, b, graph: S.schedule(  # noqa: E731
+            key, graph, b, [1], cv=True, dedup=False)
+        ms = scan_time(nd, bm, (g,), steps)
+        print(f"  {'production no-dedup':28s} {ms:6.3f} ms/step",
+              flush=True)
         for name, skip in (
                 ("full", ()),
                 ("no searchsorted", ("searchsorted",)),
