@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -180,6 +180,91 @@ def importance_row_table(graph, importance: jax.Array):
     return jnp.take(importance, graph.nbr, axis=0)
 
 
+class ISSelection(NamedTuple):
+    """Intermediate state of one IS expansion: the gathered neighbor rows
+    and the Gumbel-top-k selection over their union (see is_select)."""
+    rows_nbr: jax.Array   # [F, Dcap] neighbor ids (sentinel-padded)
+    rows_w: jax.Array     # [F, Dcap] edge weights
+    valid: jax.Array      # [F, Dcap] bool in-degree mask
+    sel_ids: jax.Array    # [n_cap] selected union members (sentinel-padded)
+    selected: jax.Array   # [N+1] bool membership table
+    total_imp: jax.Array  # scalar, sum of importance over the union
+    n_samples: jax.Array  # scalar f32, actual sample count
+
+
+def is_select(key: jax.Array, graph: PaddedGraph, field_out: jax.Array,
+              degree: int, importance: jax.Array, mesh=None,
+              approx_topk: bool = True,
+              recall_target: float = 0.95) -> ISSelection:
+    """Selection half of importance sampling (scheduler.cpp:63-122): gather
+    the field's neighbor rows, form the union, draw ``n = min(|field|*degree,
+    |union|)`` members without replacement via Gumbel top-k.  Slot weights /
+    positions are derived afterwards by :func:`is_slots` (fused) or
+    :func:`expand_importance` (legacy per-slot gathers)."""
+    n = graph.num_nodes
+    dcap = graph.pad_degree
+    rows_nbr, rows_w, deg = graph_rows(graph, field_out, mesh)
+    valid = (jnp.arange(dcap, dtype=jnp.int32)[None, :] < deg[:, None])
+
+    union = jnp.zeros(n + 1, bool).at[
+        jnp.where(valid, rows_nbr, n)].set(True).at[n].set(False)
+    total_imp = jnp.sum(jnp.where(union, importance, 0.0))
+
+    f_true = jnp.sum(field_out < n)
+    union_size = jnp.sum(union)
+    n_samples = jnp.minimum(f_true * degree, union_size).astype(jnp.float32)
+    n_cap = min(field_out.shape[0] * degree, n)
+
+    g = jax.random.gumbel(key, (n + 1,))
+    score = jnp.where(union, jnp.log(importance) + g, -jnp.inf)
+    if approx_topk:
+        _, top_ids = jax.lax.approx_max_k(score, n_cap,
+                                          recall_target=recall_target)
+        top_ids = top_ids.astype(jnp.int32)
+    else:
+        _, top_ids = jax.lax.top_k(score, n_cap)
+    rank_ok = jnp.arange(n_cap) < n_samples
+    sel_ids = jnp.where(rank_ok & union[top_ids], top_ids, n)
+    selected = jnp.zeros(n + 1, bool).at[sel_ids].set(True).at[n].set(False)
+    return ISSelection(rows_nbr, rows_w, valid, sel_ids, selected,
+                       total_imp, n_samples)
+
+
+def is_slots(sel: ISSelection, importance: jax.Array,
+             pos_table: jax.Array):
+    """Fused IS slot computation: ONE [F, Dcap] row gather of a packed
+    [N+1, 2] table replaces THREE element gathers of the legacy path
+    (``selected[rows_nbr]`` membership test, ``importance[rows_nbr]``
+    inverse weights, ``pos_table[nbr_id]`` positions).  The TPU gather path
+    is row-ISSUE-rate bound, not byte bound (PERF.md finding #5), so a
+    2-wide row costs the same issues as a scalar — the fusion cuts the IS
+    schedule's dominant cost ~3x.
+
+    Column 0 holds the full slot-weight multiplier
+    ``total_imp / (importance_v * n_samples)`` for selected nodes (0
+    otherwise — doubling as the membership test; selected nodes always have
+    finite positive weight since score ``log(imp) + g`` is finite).  Column
+    1 holds the node's field position as raw int32 bits (bitcast, exact for
+    any N).  Weight arithmetic is bit-identical to the legacy path: the
+    same operands divide per NODE here instead of per slot."""
+    inv_col = jnp.where(
+        sel.selected,
+        sel.total_imp / (importance * jnp.maximum(sel.n_samples, 1.0)),
+        0.0)
+    pos_col = jax.lax.bitcast_convert_type(pos_table.astype(jnp.int32),
+                                           jnp.float32)
+    packed = jnp.stack([inv_col, pos_col], axis=-1)          # [N+1, 2]
+    got = packed[sel.rows_nbr]                               # [F, Dcap, 2]
+    inv = got[..., 0]
+    pos = jax.lax.bitcast_convert_type(got[..., 1], jnp.int32)
+    tgt_sel = (inv > 0.0) & sel.valid
+    slot_w = jnp.where(tgt_sel, sel.rows_w * inv, 0.0)
+    # unselected slots' positions are only ever dereferenced under the
+    # weight-0 mask; 0 keeps them in-range for the halo fetch transport
+    slot_pos = jnp.where(tgt_sel, pos, 0)
+    return slot_pos, slot_w
+
+
 def expand_importance(key: jax.Array, graph: PaddedGraph,
                       field_out: jax.Array, degree: int,
                       importance: jax.Array, mesh=None,
@@ -207,47 +292,29 @@ def expand_importance(key: jax.Array, graph: PaddedGraph,
     itself an unbiased perturbation of the race among the boundary
     candidates, and the IS weights are computed from the ACTUAL selected
     set either way.  Estimator acceptance at the default recall is covered
-    by the replica validation (ISPP within band)."""
+    by the replica validation (ISPP within band).
+
+    This is the LEGACY per-slot-gather slot computation; production
+    ``schedule()`` uses :func:`is_select` + :func:`is_slots` (one fused
+    gather) unless an ``importance_rows`` table is supplied."""
     n = graph.num_nodes
-    dcap = graph.pad_degree
     f = field_out.shape[0]
-    rows_nbr, rows_w, deg = graph_rows(graph, field_out, mesh)
-    valid = (jnp.arange(dcap, dtype=jnp.int32)[None, :] < deg[:, None])
+    sel = is_select(key, graph, field_out, degree, importance, mesh=mesh,
+                    approx_topk=approx_topk, recall_target=recall_target)
 
-    union = jnp.zeros(n + 1, bool).at[
-        jnp.where(valid, rows_nbr, n)].set(True).at[n].set(False)
-    total_imp = jnp.sum(jnp.where(union, importance, 0.0))
-
-    f_true = jnp.sum(field_out < n)
-    union_size = jnp.sum(union)
-    n_samples = jnp.minimum(f_true * degree, union_size).astype(jnp.float32)
-    n_cap = min(f * degree, n)
-
-    g = jax.random.gumbel(key, (n + 1,))
-    score = jnp.where(union, jnp.log(importance) + g, -jnp.inf)
-    if approx_topk:
-        _, top_ids = jax.lax.approx_max_k(score, n_cap,
-                                          recall_target=recall_target)
-        top_ids = top_ids.astype(jnp.int32)
-    else:
-        _, top_ids = jax.lax.top_k(score, n_cap)
-    rank_ok = jnp.arange(n_cap) < n_samples
-    sel_ids = jnp.where(rank_ok & union[top_ids], top_ids, n)
-    selected = jnp.zeros(n + 1, bool).at[sel_ids].set(True).at[n].set(False)
-
-    tgt_sel = selected[rows_nbr] & valid
+    tgt_sel = sel.selected[sel.rows_nbr] & sel.valid
     if importance_rows is not None:
         # per-epoch [N+1, Dcap] row table (importance_row_table): one
         # row-window gather instead of F*Dcap element gathers
         from ..parallel.halo import row_gather
         imp_nbr = row_gather(importance_rows, field_out, mesh)
     else:
-        imp_nbr = importance[rows_nbr]
-    inv = total_imp / (imp_nbr * jnp.maximum(n_samples, 1.0))
-    slot_w = jnp.where(tgt_sel, rows_w * inv, 0.0)
-    nbr_id = jnp.where(tgt_sel, rows_nbr, n)
+        imp_nbr = importance[sel.rows_nbr]
+    inv = sel.total_imp / (imp_nbr * jnp.maximum(sel.n_samples, 1.0))
+    slot_w = jnp.where(tgt_sel, sel.rows_w * inv, 0.0)
+    nbr_id = jnp.where(tgt_sel, sel.rows_nbr, n)
     scales = jnp.ones((f,), jnp.float32)
-    return nbr_id, slot_w, scales, sel_ids
+    return nbr_id, slot_w, scales, sel.sel_ids
 
 
 def compact_field(field_out: jax.Array, new_ids: jax.Array, num_nodes: int,
@@ -460,14 +527,26 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
         degree = degrees[num_layers - l - 1]
         key, sub = jax.random.split(key)
         cap = caps[num_layers - l - 1]
+        sel = None
         if importance is not None:
-            nbr_id, slot_w, scales, sel_ids = expand_importance(
-                sub, graph, field, degree, importance, mesh=mesh,
-                approx_topk=is_approx_topk,
-                recall_target=is_recall_target,
-                importance_rows=importance_rows)
+            if importance_rows is not None:
+                # legacy per-slot gathers (only reachable with the
+                # --is_row_table hoist, which supplies its own row table)
+                nbr_id, slot_w, scales, sel_ids = expand_importance(
+                    sub, graph, field, degree, importance, mesh=mesh,
+                    approx_topk=is_approx_topk,
+                    recall_target=is_recall_target,
+                    importance_rows=importance_rows)
+                cand = sel_ids
+            else:
+                # fused path: selection now, slots via ONE packed gather
+                # once the field position table exists (is_slots)
+                sel = is_select(sub, graph, field, degree, importance,
+                                mesh=mesh, approx_topk=is_approx_topk,
+                                recall_target=is_recall_target)
+                cand = sel.sel_ids
+                scales = jnp.ones((field.shape[0],), jnp.float32)
             slot_aw = None
-            cand = sel_ids
         else:
             nbr_id, slot_w, slot_aw, scales = expand_uniform(
                 sub, graph, field, degree, need_aw, mesh=mesh)
@@ -476,14 +555,16 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
             field_in, pos_table = compact_field_aligned(field, cand, n, cap,
                                                         owner_blocks)
             self_pos = pos_table[field]
-            slot_pos = pos_table[nbr_id]
+            slot_pos = None if sel is not None else pos_table[nbr_id]
         elif not dedup:
             field_in, slot_pos = append_field(field, cand, n, cap)
             self_pos = None
         else:
             field_in, pos_table = compact_field(field, cand, n, cap)
             self_pos = None
-            slot_pos = pos_table[nbr_id]
+            slot_pos = None if sel is not None else pos_table[nbr_id]
+        if sel is not None:
+            slot_pos, slot_w = is_slots(sel, importance, pos_table)
         layer_samples.append(LayerSample(
             slot_pos=slot_pos, slot_w=slot_w, slot_aw=slot_aw,
             scales=scales, self_pos=self_pos))

@@ -322,23 +322,42 @@ def test_schedule_owner_aligned_edge_parity(small):
 
 
 def test_importance_row_table_equivalent(small):
-    """The per-epoch [N+1, Dcap] importance row table (cfg.is_row_table)
-    must produce bit-identical IS packs to the per-slot element-gather
-    path."""
-    from stochastic_gcn_tpu.sampler.scheduler import (compute_importance,
-                                                      importance_row_table)
+    """The fused packed-gather IS path (production default), the legacy
+    per-slot element-gather path, and the --is_row_table row-gather hoist
+    must produce the same IS packs: identical fields, bit-identical
+    weights, and identical positions wherever the weight is non-zero
+    (weight-0 slot positions are unspecified — only ever dereferenced
+    under the mask)."""
+    from stochastic_gcn_tpu.sampler.scheduler import (
+        ISSelection, compute_importance, expand_importance,
+        importance_row_table, is_select, is_slots)  # noqa: F401
     ds, g = small
+    n = ds.num_data
     imp = compute_importance(g)
     rows = importance_row_table(g, imp)
     batch = jnp.asarray(np.arange(16, dtype=np.int32))
     key = jax.random.PRNGKey(5)
-    p0 = schedule(key, g, batch, (2,), cv=True, importance=imp)
+    p0 = schedule(key, g, batch, (2,), cv=True, importance=imp)  # fused
     p1 = schedule(key, g, batch, (2,), cv=True, importance=imp,
-                  importance_rows=rows)
+                  importance_rows=rows)                          # legacy
     for f0, f1 in zip(p0.fields, p1.fields):
         np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
     for l0, l1 in zip(p0.layers, p1.layers):
-        np.testing.assert_array_equal(np.asarray(l0.slot_pos),
-                                      np.asarray(l1.slot_pos))
-        np.testing.assert_allclose(np.asarray(l0.slot_w),
-                                   np.asarray(l1.slot_w), rtol=0, atol=0)
+        w0 = np.asarray(l0.slot_w)
+        w1 = np.asarray(l1.slot_w)
+        np.testing.assert_allclose(w0, w1, rtol=0, atol=0)
+        live = w0 != 0
+        np.testing.assert_array_equal(np.asarray(l0.slot_pos)[live],
+                                      np.asarray(l1.slot_pos)[live])
+        # fused weight-0 positions are pinned in-range for halo transport
+        assert (np.asarray(l0.slot_pos) >= 0).all()
+        assert (np.asarray(l0.slot_pos) < p0.fields[0].shape[0]).all()
+
+    # the legacy expand_importance entry point (kept for the ablation
+    # harness) agrees with the fused pieces slot-by-slot
+    sel = is_select(key_layer := jax.random.split(key)[1], g,
+                    batch, 2, imp)
+    nbr_id, slot_w, _, sel_ids = expand_importance(key_layer, g, batch, 2,
+                                                   imp)
+    np.testing.assert_array_equal(np.asarray(sel.sel_ids),
+                                  np.asarray(sel_ids))
