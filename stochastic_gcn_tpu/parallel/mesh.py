@@ -286,7 +286,8 @@ def make_sharded_eval_epoch(cfg, spec, degrees: Tuple[int, ...],
                             shard_history: bool = False,
                             data_template=None,
                             shard_graph: bool = False,
-                            params_template=None):
+                            params_template=None,
+                            with_preds: bool = False):
     import jax.tree_util as jtu
     from ..training.step import build_eval_epoch
 
@@ -299,7 +300,8 @@ def make_sharded_eval_epoch(cfg, spec, degrees: Tuple[int, ...],
     hist_sh = history_shardings(mesh, hist_template, shard_history)
     halo = _halo_spec(cfg, mesh) \
         if (cfg.halo_exchange and (shard_history or shard_graph)) else None
-    inner = build_eval_epoch(cfg, spec, degrees, num_nodes, mesh=halo)
+    inner = build_eval_epoch(cfg, spec, degrees, num_nodes, mesh=halo,
+                             with_preds=with_preds)
 
     if data_template is not None:
         g_sh, f_sh, l_sh = data_shardings(mesh, data_template, shard_graph)

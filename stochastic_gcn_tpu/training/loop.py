@@ -325,6 +325,68 @@ class Trainer:
                                       self.cfg.multitask)
         return total_loss, total_acc, micro, macro, time.time() - t0
 
+    def _get_predict_epoch(self):
+        """Lazily-built variant of the eval epoch that also stacks the
+        per-node class probabilities (training/step.py::build_eval_epoch
+        with_preds) — only inference pays the [S, B, C] device->host
+        fetch."""
+        if getattr(self, "_predict_epoch", None) is None:
+            cfg, n = self.cfg, self.ds.num_data
+            if self.mesh is not None:
+                from ..parallel.mesh import make_sharded_eval_epoch
+                eval_data = (self.graph_full, self.test_features,
+                             self.labels)
+                self._predict_epoch = make_sharded_eval_epoch(
+                    cfg, self.test_spec, self.test_degrees, n, self.mesh,
+                    hist_template=self.eval_histories, shard_history=True,
+                    data_template=eval_data, shard_graph=cfg.shard_graph,
+                    params_template=self.state.params, with_preds=True)
+            else:
+                self._predict_epoch = S.make_eval_epoch(
+                    cfg, self.test_spec, self.test_degrees, n,
+                    with_preds=True)
+        return self._predict_epoch
+
+    def predict(self, data_ids, refresh: bool = True):
+        """Per-node class probabilities for ``data_ids`` — the
+        inference/serving surface.  Returns [len(ids), num_classes]
+        float32 in the CALLER's id order (original id space).
+
+        The reference exposes predictions only implicitly (pred out of
+        run_one_step, gcn/vrgcn.py:79-84, vstacked inside evaluate,
+        train.py:150-156); this is the standalone equivalent.  With
+        ``refresh`` and a CV eval model, first runs ``num_layers`` full
+        passes over every node so the eval-side history converges and the
+        returned values equal exact inference — the Test protocol
+        (train.py:339-341), the predict pass itself being pass L+1.
+        """
+        cfg = self.cfg
+        n = self.ds.num_data
+        if refresh and cfg.test_cv:
+            all_ids = np.arange(n, dtype=np.int32)
+            for _ in range(cfg.num_layers):
+                self.evaluate(all_ids)
+        ids = np.asarray(data_ids, np.int64)
+        internal = np.asarray(self._to_internal(ids), np.int32)
+        # order-preserving batch layout (predict reassembles by id, so the
+        # owner-grouped layout would also work — but there is no reason to
+        # stratify an inference batch)
+        bm = self._batch_matrix(internal, cfg.test_batch_size, n)
+        fn = self._get_predict_epoch()
+        self.eval_histories, out = fn(
+            self._eval_params(), self.eval_histories, self.graph_full,
+            self.test_features, self.labels, self.importance_test,
+            jnp.asarray(bm), self._next_key())
+        preds = np.asarray(out["preds"])
+        preds = preds.reshape(-1, preds.shape[-1])
+        fields = np.asarray(out["fields"]).reshape(-1)
+        # reassemble by internal node id — robust to any field-slot layout
+        # (sentinel-padded rows have field id == n and are skipped)
+        by_id = np.zeros((n + 1, preds.shape[1]), np.float32)
+        valid = fields < n
+        by_id[fields[valid]] = preds[valid]
+        return by_id[internal]
+
     def sgd_train(self, log=print, max_epochs: Optional[int] = None):
         """SGDTrain (train.py:170-238): epoch loop + validation + early
         stopping on the trailing-window validation loss."""
@@ -476,5 +538,11 @@ class Trainer:
             e_shapes = [h.shape for h in
                         jax.tree_util.tree_leaves(self.eval_histories)]
             if t_shapes == e_shapes:
-                # jax arrays are immutable: sharing, not copying
-                self.eval_histories = self.state.histories
+                # cast to the EVAL-side dtype: train histories default to
+                # bf16 while eval stays f32 so CV inference converges
+                # exactly (--test_history_dtype); adopting the train
+                # buffers verbatim would silently demote eval history
+                # precision for the rest of the session
+                self.eval_histories = jax.tree_util.tree_map(
+                    lambda t, e: t.astype(e.dtype),
+                    self.state.histories, self.eval_histories)

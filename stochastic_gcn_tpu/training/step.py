@@ -323,10 +323,18 @@ def make_train_epoch(cfg: Config, spec: M.ModelSpec,
 
 
 def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
-                     degrees: Tuple[int, ...], num_nodes: int, mesh=None):
+                     degrees: Tuple[int, ...], num_nodes: int, mesh=None,
+                     with_preds: bool = False):
     """Whole-evaluation runner: scan of the eval step over [S, B] batch ids;
     returns per-batch losses/accuracies and stacked predictions with ONE
-    host sync (train.py:133-160 equivalent)."""
+    host sync (train.py:133-160 equivalent).
+
+    ``with_preds=True`` additionally stacks the per-node class
+    probabilities ([S, B, C]) and their batch fields ([S, B]) in the
+    output — the inference surface (reference get_pred, gcn/vrgcn.py:86;
+    used by cli/infer.py).  Off by default: evaluation proper fetches only
+    C-length counters, never multi-MB prediction matrices (tunneled
+    device->host transfers dominate eval time otherwise)."""
     use_importance = cfg.test_importance
     owner_blocks = cfg.dp if (cfg.owner_batching and mesh is not None) else 0
     unique_fields = cfg.field_dedup or use_importance or mesh is not None
@@ -356,7 +364,10 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
         histories, _ = scatter_histories(
             histories, new_h, pack.fields, num_nodes, mesh=mesh,
             scatter_cap_mult=cfg.scatter_cap_mult, unique=unique_fields)
-        return histories, (loss, acc, tp, fp, fn, jnp.sum(valid))
+        out = (loss, acc, tp, fp, fn, jnp.sum(valid))
+        if with_preds:
+            out = out + (M.predict(spec, logits), batch_field)
+        return histories, out
 
     def _epoch(params, histories, graph, features, labels, importance,
                batch_matrix, key):
@@ -373,23 +384,29 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
             return hist, out
 
         keys = jax.random.split(key, batch_matrix.shape[0])
-        histories, (losses, accs, tps, fps, fns, nvalid) = jax.lax.scan(
+        histories, ys = jax.lax.scan(
             body, histories, (batch_matrix, keys), unroll=cfg.scan_unroll)
+        losses, accs, tps, fps, fns, nvalid = ys[:6]
         # per-class counters summed over batches: evaluation fetches only
         # C-length vectors, never the [N, C] prediction matrix (multi-MB
         # device->host transfers dominate eval time on tunneled runtimes)
-        return histories, {"losses": losses, "accs": accs,
-                           "tp": jnp.sum(tps, axis=0),
-                           "fp": jnp.sum(fps, axis=0),
-                           "fn": jnp.sum(fns, axis=0),
-                           "nvalid": nvalid}
+        out = {"losses": losses, "accs": accs,
+               "tp": jnp.sum(tps, axis=0),
+               "fp": jnp.sum(fps, axis=0),
+               "fn": jnp.sum(fns, axis=0),
+               "nvalid": nvalid}
+        if with_preds:
+            out["preds"], out["fields"] = ys[6], ys[7]
+        return histories, out
 
     return _epoch
 
 
 def make_eval_epoch(cfg: Config, spec: M.ModelSpec,
-                    degrees: Tuple[int, ...], num_nodes: int):
-    return jax.jit(build_eval_epoch(cfg, spec, degrees, num_nodes),
+                    degrees: Tuple[int, ...], num_nodes: int,
+                    with_preds: bool = False):
+    return jax.jit(build_eval_epoch(cfg, spec, degrees, num_nodes,
+                                    with_preds=with_preds),
                    donate_argnums=(1,))
 
 
