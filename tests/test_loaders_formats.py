@@ -215,6 +215,143 @@ def test_youtube_loader(tmp_path):
     assert (ds.val_d >= n).all() and (ds.train_d < n).all()
 
 
+def write_nell_fixture(d, n=1000, n_train=6, n_test=20, dim=8, ncls=4,
+                       seed=0):
+    """NELL-branch fixture (gcn/utils.py:99-115): features come from allx
+    ALONE (no tx appended), test.index is an UNSORTED raw id list consumed
+    as-is, and the val split is the hardcoded 969-wide range after train."""
+    rng = np.random.default_rng(seed)
+    allx = sp.csr_matrix(rng.random((n, dim)).astype(np.float32)
+                         * (rng.random((n, dim)) < 0.3))
+    ally = np.zeros((n, ncls), np.float32)
+    ally[np.arange(n), rng.integers(0, ncls, n)] = 1
+    x, y = allx[:n_train], ally[:n_train]
+    # tx/ty are pickled but unused by the nell branch
+    tx, ty = allx[:2], ally[:2]
+    graph = {i: [] for i in range(n)}
+    for _ in range(3 * n):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            graph[int(a)].append(int(b))
+            graph[int(b)].append(int(a))
+    test_idx = rng.choice(np.arange(n_train + 969, n), size=n_test,
+                          replace=False).tolist()   # deliberately unsorted
+
+    for nm, obj in [("x", x), ("y", y), ("tx", tx), ("ty", ty),
+                    ("allx", allx), ("ally", ally), ("graph", graph)]:
+        with open(os.path.join(d, f"ind.nell.{nm}"), "wb") as f:
+            pickle.dump(obj, f, protocol=2)
+    with open(os.path.join(d, "ind.nell.test.index"), "w") as f:
+        f.write("\n".join(str(i) for i in test_idx) + "\n")
+    return n, dim, ncls, n_train, test_idx
+
+
+def test_nell_loader(tmp_path):
+    d = str(tmp_path)
+    n, dim, ncls, n_train, test_idx = write_nell_fixture(d)
+    cfg = Config(dataset="nell", data_dir=d)
+    ds = load_gcn_data("nell", cfg)
+    assert ds.num_data == n
+    assert ds.feats.shape == (n, dim)
+    # splits: train prefix, 969-wide val (gcn/utils.py:108), raw test.index
+    np.testing.assert_array_equal(ds.train_d, np.arange(n_train))
+    np.testing.assert_array_equal(ds.val_d,
+                                  np.arange(n_train, n_train + 969))
+    np.testing.assert_array_equal(ds.test_d, np.asarray(test_idx))
+    # citation format: train graph == full graph
+    assert (ds.train_adj != ds.full_adj).nnz == 0
+    # labels zeroed outside the three splits
+    in_split = np.zeros(n, bool)
+    in_split[ds.train_d] = in_split[ds.val_d] = True
+    in_split[ds.test_d] = True
+    assert ds.labels[~in_split].sum() == 0
+    assert ds.labels[ds.test_d].sum() == len(test_idx)
+    # cache round trip preserves the unsorted test split
+    ds2 = load_gcn_data("nell", cfg)
+    np.testing.assert_array_equal(ds2.test_d, ds.test_d)
+
+
+def _rand_csr(rng, shape, density=0.3):
+    return sp.csr_matrix(rng.random(shape).astype(np.float32)
+                         * (rng.random(shape) < density))
+
+
+def test_reference_npz_cache_planetoid(tmp_path):
+    """Ingest an npz written in the reference's exact Planetoid cache schema
+    (gcn/utils.py:172-181): all-sparse CSR triplets, no sparse_feats flag."""
+    d = str(tmp_path)
+    rng = np.random.default_rng(3)
+    n, dim, ncls = 25, 6, 3
+    adj = _rand_csr(rng, (n, n))
+    feats = _rand_csr(rng, (n, dim))
+    train_feats = adj.dot(feats)
+    labels = np.zeros((n, ncls), np.float32)
+    labels[np.arange(n), rng.integers(0, ncls, n)] = 1
+    keys = dict(num_data=n, labels=labels,
+                train_data=np.arange(5, dtype=np.int32),
+                val_data=np.arange(5, 15, dtype=np.int32),
+                test_data=np.arange(15, 25, dtype=np.int32))
+    for nm, m in [("train_adj", adj), ("full_adj", adj), ("feats", feats),
+                  ("train_feats", train_feats), ("test_feats", train_feats)]:
+        keys.update({f"{nm}_data": m.data, f"{nm}_indices": m.indices,
+                     f"{nm}_indptr": m.indptr,
+                     f"{nm}_shape": np.asarray(m.shape)})
+    with open(os.path.join(d, "cora_gcn.npz"), "wb") as f:
+        np.savez(f, **keys)
+
+    ds = load_gcn_data("cora", Config(dataset="cora", data_dir=d))
+    assert ds.num_data == n
+    assert sp.issparse(ds.feats)    # schema sniff chose the sparse path
+    np.testing.assert_allclose(ds.feats.toarray(), feats.toarray())
+    np.testing.assert_allclose(ds.train_adj.toarray(), adj.toarray())
+    np.testing.assert_array_equal(ds.val_d, keys["val_data"])
+
+
+def test_reference_npz_cache_graphsage(tmp_path):
+    """Ingest an npz in the reference's GraphSAGE cache schema
+    (gcn/utils.py:325-333): sparse adjacencies, DENSE feats, no flag."""
+    d = str(tmp_path)
+    rng = np.random.default_rng(4)
+    n, dim, ncls = 30, 5, 4
+    adj = _rand_csr(rng, (n, n))
+    feats = rng.normal(size=(n, dim)).astype(np.float32)
+    train_feats = adj.dot(feats)
+    labels = (rng.random((n, ncls)) < 0.4).astype(np.float32)
+    keys = dict(num_data=n, feats=feats, train_feats=train_feats,
+                test_feats=train_feats, labels=labels,
+                train_data=np.arange(20, dtype=np.int32),
+                val_data=np.arange(20, 25, dtype=np.int32),
+                test_data=np.arange(25, 30, dtype=np.int32))
+    for nm, m in [("train_adj", adj), ("full_adj", adj)]:
+        keys.update({f"{nm}_data": m.data, f"{nm}_indices": m.indices,
+                     f"{nm}_indptr": m.indptr,
+                     f"{nm}_shape": np.asarray(m.shape)})
+    prefix = os.path.join(d, "reddit")
+    with open(prefix + ".npz", "wb") as f:
+        np.savez(f, **keys)
+
+    cfg = Config(dataset="reddit", normalization="graphsage", data_dir=d)
+    ds = load_graphsage_data(prefix, cfg)
+    assert ds.num_data == n
+    assert not sp.issparse(ds.feats)
+    np.testing.assert_allclose(ds.feats, feats)
+    np.testing.assert_allclose(ds.full_adj.toarray(), adj.toarray())
+    np.testing.assert_array_equal(ds.test_d, keys["test_data"])
+
+
+def test_nell_trains_end_to_end(tmp_path):
+    """The NELL branch feeds the Trainer (sparse-feature path) cleanly."""
+    d = str(tmp_path)
+    write_nell_fixture(d, n=1000, dim=6, ncls=3)
+    cfg = Config(dataset="nell", data_dir=d, batch_size=64, degree=2,
+                 test_degree=2, hidden1=8, epochs=1)
+    ds = load_gcn_data("nell", cfg)
+    from stochastic_gcn_tpu.training.loop import Trainer
+    tr = Trainer(cfg, ds)
+    loss, *_ = tr.train_epoch()
+    assert np.isfinite(loss)
+
+
 def test_mlp_baseline(tmp_path):
     """NeighbourMLP (reference gcn/mlp.py, repaired) trains."""
     from stochastic_gcn_tpu.data.loaders import synthetic_dataset
