@@ -115,6 +115,108 @@ def build_planted_labels(base, cache="data/bench_reddit_planted.npz"):
     return labels
 
 
+# --- estimator time-to-accuracy A/B (the paper's headline claim) ---------
+#
+# "CVD+PP has similar accuracy with Exact, but is faster"
+# (/root/reference/README.md:44); protocol = time/epochs to a val-accuracy
+# threshold safely below the plateau (analyze-time.py:12-14: 0.94 on real
+# Reddit vs ~0.963 plateau).  Real Reddit doesn't ship with either repo, so
+# the A/B runs on a degree-corrected SBM with planted communities and
+# power-law degrees (data/loaders.py::community_sbm_dataset) calibrated so
+# the 2-layer GCN needs BOTH hops: raw features ~0.1 linear accuracy,
+# 1-hop ~0.75, 2-hop ~1.0 — the regime where sampled-layer variance
+# separates the estimators (CPU calibration: NS+PP deg1 plateaus ~0.84,
+# CV+PP ~0.94, CVD+PP ~0.98, Exact ~0.99 on the 8k-node version).
+AB_TARGET_F1 = 0.90
+AB_SNR = 0.02
+AB_ALGOS = [
+    # grid per reference scripts/analyze-time.py exps (deg, cv, pp):
+    # Exact = full degree NO PP; the sampled algos ride PP (default)
+    ("exact", dict(degree=10000, preprocess=False, test_preprocess=False)),
+    ("nspp", dict(degree=1)),
+    ("cvpp", dict(degree=1, cv=True, test_cv=True)),
+    ("cvdpp", dict(degree=1, cv=True, cvd=True, test_cv=True,
+                   test_cvd=True)),
+]
+
+
+def build_community_reddit(cache="data/bench_sbm_reddit.npz"):
+    from stochastic_gcn_tpu.data.loaders import (_cache_dataset,
+                                                 _load_cached,
+                                                 community_sbm_dataset)
+    if os.path.exists(cache):
+        return _load_cached(cache)
+    ds = community_sbm_dataset(num_nodes=65536, num_classes=N_CLASSES,
+                               feature_dim=FEAT_DIM, mean_degree=25,
+                               p_in=0.7, snr=AB_SNR, seed=0, max_degree=64)
+    os.makedirs(os.path.dirname(cache) or ".", exist_ok=True)
+    _cache_dataset(cache, ds, sparse_feats=False)
+    return ds
+
+
+def run_estimator_ab(target_f1=AB_TARGET_F1, max_epochs=40, log=print):
+    """Epochs / train-seconds / sampled-data to the target val micro-F1 for
+    Exact vs NS+PP vs CV+PP vs CVD+PP on the community benchmark graph.
+
+    Timing counts TRAINING time only (the reference's per-epoch time
+    column that analyze-time.py sums); evaluation runs between epochs with
+    exact inference (test_degree huge) for every algorithm so accuracy is
+    measured identically.  Per algo: one throwaway warmup epoch + eval
+    (compile + the tunnel's one-time fetch), then a fresh Trainer reuses
+    the compile cache for the measured run."""
+    import dataclasses as _dc
+    from stochastic_gcn_tpu.config import Config
+    from stochastic_gcn_tpu.training.loop import Trainer
+
+    ds = build_community_reddit()
+    out = {"ab_target_micro_f1": target_f1}
+    base = dict(dataset="sbm_reddit", batch_size=BATCH, test_degree=10000,
+                hidden1=HIDDEN, normalization="graphsage", layer_norm=True,
+                num_fc_layers=2, weight_decay=0.0, dropout=0.2,
+                test_batch_size=2048, pad_degree=64, seed=1)
+    for name, over in AB_ALGOS:
+        cfg = Config(**base, **over)
+        tr = Trainer(cfg, ds)
+        tr.train_epoch()
+        tr.evaluate(ds.val_d)      # absorb compile + first-fetch stall
+        del tr
+        tr = Trainer(cfg, ds)
+        train_s = 0.0
+        amt = 0
+        hit_ep = hit_s = hit_amt = None
+        traj = []
+        for epoch in range(max_epochs):
+            t0 = time.time()
+            tr.train_epoch()
+            train_s += time.time() - t0
+            amt = tr.amt_data
+            _, _, micro, _, _ = tr.evaluate(ds.val_d)
+            traj.append(float(micro))
+            log(f"ab {name} epoch {epoch + 1}: micro_f1 {micro:.4f} "
+                f"(train {train_s:.1f}s)", file=sys.stderr, flush=True)
+            if hit_ep is None and micro >= target_f1:
+                hit_ep, hit_s, hit_amt = epoch + 1, round(train_s, 2), amt
+        out[f"ab_{name}_epochs_to_target"] = hit_ep
+        out[f"ab_{name}_seconds_to_target"] = hit_s
+        out[f"ab_{name}_data_to_target"] = hit_amt
+        out[f"ab_{name}_best_micro_f1"] = round(max(traj), 4)
+        out[f"ab_{name}_plateau_micro_f1"] = round(
+            float(np.mean(traj[-5:])), 4)
+        out[f"ab_{name}_epoch_train_s"] = round(train_s / max_epochs, 3)
+        del tr
+    if out.get("ab_exact_seconds_to_target") and \
+            out.get("ab_cvdpp_seconds_to_target"):
+        out["ab_cvdpp_speedup_vs_exact"] = round(
+            out["ab_exact_seconds_to_target"]
+            / out["ab_cvdpp_seconds_to_target"], 2)
+    if out.get("ab_exact_seconds_to_target") and \
+            out.get("ab_cvpp_seconds_to_target"):
+        out["ab_cvpp_speedup_vs_exact"] = round(
+            out["ab_exact_seconds_to_target"]
+            / out["ab_cvpp_seconds_to_target"], 2)
+    return out
+
+
 def run_convergence(cfg, base, target_f1=0.40, max_epochs=150):
     """Epochs/seconds to target val micro-F1 on the planted-signal task —
     the second north-star metric (BASELINE.md; reference threshold protocol:

@@ -137,6 +137,14 @@ def main():
                     help="edgelist full-term row budget override (0 = "
                          "config default); set high enough to cover every "
                          "row for an exact full term")
+    ap.add_argument("--nofield_dedup", action="store_true",
+                    help="validate the no-dedup (append-only) field "
+                         "layout against the same acceptance bands "
+                         "(schedule() forces dedup back on under "
+                         "importance, so ISPP stays dedup-compacted)")
+    ap.add_argument("--is_slot_cap", type=int, default=0,
+                    help="validate the IS slot cap (is_slot_compact) "
+                         "against the ISPP acceptance band")
     args = ap.parse_args()
     if args.algos:
         keep = set(a.strip() for a in args.algos.split(",")) | {"Exact"}
@@ -164,6 +172,10 @@ def main():
     shard_over = {"graph_format": args.graph_format}
     if args.fadj_edge_mult:
         shard_over["fadj_edge_mult"] = args.fadj_edge_mult
+    if args.nofield_dedup:
+        shard_over["field_dedup"] = False
+    if args.is_slot_cap:
+        shard_over["is_slot_cap"] = args.is_slot_cap
     if args.dp > 1:
         shard_over.update(dp=args.dp, owner_batching=args.owner_batching,
                           partition_nodes="rcm" if args.owner_batching

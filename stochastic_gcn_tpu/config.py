@@ -110,6 +110,16 @@ class Config:
     # [N, Dcap] f32 (+50% of the padded graph's HBM) during IS epochs;
     # default off, enable for batch >= ~2k.
     is_row_table: bool = False
+    # IS: compact each [F, Dcap] slot row to its is_slot_cap highest-weight
+    # SELECTED slots (scheduler.is_slot_compact) so the downstream fanout
+    # gather issues F*cap activation rows instead of F*Dcap — the dominant
+    # IS cost at scale (PERF.md "IS at Reddit scale").  Rows with more
+    # selected slots than the cap drop their lowest-weight edges (counted
+    # in the is_dropped metric) — a bounded deviation from the reference's
+    # keep-every-edge semantics (scheduler.cpp:118-121).  0 = off (exact
+    # reference semantics).  The expected selected slots/row at the Reddit
+    # recipe is < 2, so 8 is a comfortable cap.
+    is_slot_cap: int = 0
     # Dedup-compact each receptive field (the reference's `visited` map,
     # scheduler.cpp:48-52).  --nofield_dedup appends sampled neighbor ids
     # to the field WITHOUT dedup: duplicate ids occupy separate positions
@@ -129,6 +139,20 @@ class Config:
     # assume unique field rows); in Exact mode capacity grows as
     # F*max_degree without the N clamp.
     field_dedup: bool = True
+    # Hoist the on-device scheduler OUT of the per-step scan body into a
+    # chunked vmapped per-epoch pre-pass (one batched dispatch schedules
+    # every step of the epoch).  At small batch the schedule is
+    # kernel-LATENCY bound (~0.25 ms of ~15 sequential small kernels at
+    # batch 512, PERF.md roofline) — batching over steps amortizes the
+    # launch chain S-fold while keeping the sampled trajectory
+    # BIT-IDENTICAL (same per-step fold_in keys).  "auto" enables it on
+    # single-chip epochs whenever the precomputed packs fit the byte
+    # budget below (Exact-mode packs are ~17 MB/step and stay in-step);
+    # "on"/"off" force it.  Mesh epochs always schedule in-step (pack
+    # tensors would need their own shardings).
+    sched_prepass: str = "auto"
+    sched_prepass_budget_mb: int = 256
+    sched_prepass_chunk: int = 32
     # Number of devices along the data-parallel mesh axis (1 = single chip).
     dp: int = 1
     # Devices along a tensor-parallel 'model' mesh axis (total chips =

@@ -410,6 +410,81 @@ def synthetic_dataset(num_nodes: int = 512, feature_dim: int = 64,
                    labels=labels, train_d=train_d, val_d=val_d, test_d=test_d)
 
 
+def community_sbm_dataset(num_nodes: int = 65536, num_classes: int = 41,
+                          feature_dim: int = 602, mean_degree: int = 25,
+                          p_in: float = 0.85, snr: float = 0.18,
+                          pareto_a: float = 2.5, max_degree: int = -1,
+                          train_frac: float = 0.66, val_frac: float = 0.10,
+                          seed: int = 0) -> Dataset:
+    """Degree-corrected stochastic block model with power-law degrees —
+    the community-structured Reddit stand-in for the estimator
+    time-to-accuracy benchmark (the TPU analogue of the reference's
+    Reddit protocol, scripts/analyze-time.py:12-14: time to 0.94 val
+    accuracy).
+
+    Labels are the planted communities.  Per-node features are a WEAK
+    class signal (``snr`` standard deviations of class-mean separation
+    under unit noise), calibrated so raw per-node features are far from
+    sufficient while one neighborhood aggregation (mostly same-community
+    neighbors, ``p_in``) denoises into the >=0.9 micro-F1 band — i.e. the
+    graph is what carries the signal, exactly the regime where estimator
+    variance matters.  Degrees are power-law (Pareto ``pareto_a``
+    propensities), capped at load time via ``max_degree`` like the
+    reference's GraphSAGE --max_degree (gcn/utils.py:261-263).
+    """
+    rng = np.random.default_rng(seed)
+    comm = rng.integers(0, num_classes, num_nodes).astype(np.int32)
+    theta = rng.pareto(pareto_a, num_nodes) + 1.0
+    p_global = theta / theta.sum()
+
+    m = num_nodes * mean_degree // 2
+    src = rng.choice(num_nodes, size=m, p=p_global).astype(np.int32)
+    inside = rng.random(m) < p_in
+    dst = rng.choice(num_nodes, size=m, p=p_global).astype(np.int32)
+    # redraw in-community targets per community, ∝ theta within the block
+    for c in range(num_classes):
+        members = np.nonzero(comm == c)[0]
+        need = np.nonzero(inside & (comm[src] == c))[0]
+        if len(need) and len(members):
+            pc = theta[members] / theta[members].sum()
+            dst[need] = rng.choice(members, size=len(need), p=pc)
+    edges = np.stack([src, dst], axis=1)
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    if max_degree != -1:
+        edges = subsample_edges(edges, num_nodes, max_degree, rng)
+
+    adj01 = (adj_from_edges(edges, num_nodes) > 0).astype(np.float32)
+    full_adj = graphsage_normalize_adj(adj01)
+
+    mu = rng.normal(size=(num_classes, feature_dim)).astype(np.float32)
+    feats = (snr * mu[comm]
+             + rng.normal(size=(num_nodes, feature_dim))).astype(np.float32)
+    labels = np.zeros((num_nodes, num_classes), dtype=np.float32)
+    labels[np.arange(num_nodes), comm] = 1
+
+    perm = rng.permutation(num_nodes).astype(np.int32)
+    n_train = int(num_nodes * train_frac)
+    n_val = int(num_nodes * val_frac)
+    train_d = np.sort(perm[:n_train])
+    val_d = np.sort(perm[n_train:n_train + n_val])
+    test_d = np.sort(perm[n_train + n_val:])
+
+    is_train = np.zeros(num_nodes, dtype=bool)
+    is_train[train_d] = True
+    tr_edges = edges[is_train[edges[:, 0]] & is_train[edges[:, 1]]]
+    train_adj = graphsage_normalize_adj(
+        (adj_from_edges(tr_edges, num_nodes) > 0).astype(np.float32))
+
+    train_feats = compute_pp_features(train_adj, feats)
+    test_feats = compute_pp_features(full_adj, feats)
+    return Dataset(num_data=num_nodes, train_adj=train_adj,
+                   full_adj=full_adj, feats=feats,
+                   train_feats=np.asarray(train_feats, np.float32),
+                   test_feats=np.asarray(test_feats, np.float32),
+                   labels=labels, train_d=train_d, val_d=val_d,
+                   test_d=test_d)
+
+
 # --------------------------------------------------------------------------
 # dispatch (gcn/utils.py:466-473)
 # --------------------------------------------------------------------------

@@ -77,9 +77,13 @@ class BatchFields:
     fields[0] is the input side, fields[-1] the batch (reference ordering
     after the reversal in _scheduler.pyx:121-126).  layers[l] maps
     fields[l] -> fields[l+1].
-    """
+
+    ``is_dropped`` counts IS slot-cap drops (is_slot_compact) summed over
+    layers; always a scalar (0 when the cap is off / non-IS)."""
     fields: Tuple[jax.Array, ...]
     layers: Tuple[LayerSample, ...]
+    is_dropped: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32))
 
 
 def field_capacities(batch_size: int, degrees: Sequence[int], num_nodes: int,
@@ -317,6 +321,36 @@ def expand_importance(key: jax.Array, graph: PaddedGraph,
     return nbr_id, slot_w, scales, sel.sel_ids
 
 
+def is_slot_compact(slot_pos: jax.Array, slot_w: jax.Array, cap: int):
+    """Compact IS slots [F, Dcap] -> [F, cap], keeping each row's ``cap``
+    highest-weight selected slots (cfg.is_slot_cap).
+
+    The reference keeps EVERY graph edge into a selected union member
+    (scheduler.cpp:118-121), which in slot form means the whole [F, Dcap]
+    row participates in the downstream fanout gather — [F·Dcap] activation
+    row-issues where uniform degree-1 sampling issues [F·1] (the dominant
+    IS cost at scale, PERF.md "IS at Reddit scale": ~2.9x the NS step at
+    batch 4096, all scalar-issue-rate bound).  With n ≈ F·degree selected
+    nodes out of a much larger union, the EXPECTED selected slots per row
+    is ~Dcap·n/|union| (< 2 at the Reddit recipe), so a small static cap
+    covers almost every row; rows with more selected slots than ``cap``
+    drop their lowest-weight edges (counted in the returned scalar and
+    surfaced as the ``is_dropped`` metric) — a bounded, observable
+    deviation from reference semantics, off by default (cap 0).
+
+    Weights are nonnegative (normalized adjacency x positive IS weights),
+    so top_k picks selected slots before masked zeros; masked slots keep
+    in-range positions for the downstream gather."""
+    dcap = slot_w.shape[1]
+    if cap <= 0 or cap >= dcap:
+        return slot_pos, slot_w, jnp.zeros((), jnp.int32)
+    w_top, idx = jax.lax.top_k(slot_w, cap)
+    pos = jnp.take_along_axis(slot_pos, idx, axis=1)
+    n_sel = jnp.sum((slot_w > 0).astype(jnp.int32))
+    n_kept = jnp.sum((w_top > 0).astype(jnp.int32))
+    return pos, w_top, n_sel - n_kept
+
+
 def compact_field(field_out: jax.Array, new_ids: jax.Array, num_nodes: int,
                   capacity: int):
     """Dedup-compact ``field_out ++ new_ids`` into a static-capacity field.
@@ -491,7 +525,7 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
              is_recall_target: float = 0.95,
              owner_blocks: int = 0,
              importance_rows: Optional[jax.Array] = None,
-             dedup: bool = True) -> BatchFields:
+             dedup: bool = True, is_slot_cap: int = 0) -> BatchFields:
     """Build the full receptive field for one minibatch.
 
     Equivalent of ``PyScheduler.batch`` (gcn/_scheduler.pyx:55-127): expands
@@ -523,6 +557,7 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
     fields = [batch_ids.astype(jnp.int32)]
     layer_samples = []
     field = fields[0]
+    is_dropped = jnp.zeros((), jnp.int32)
     for l in range(num_layers):
         degree = degrees[num_layers - l - 1]
         key, sub = jax.random.split(key)
@@ -565,6 +600,10 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
             slot_pos = None if sel is not None else pos_table[nbr_id]
         if sel is not None:
             slot_pos, slot_w = is_slots(sel, importance, pos_table)
+        if importance is not None and is_slot_cap:
+            slot_pos, slot_w, drop = is_slot_compact(slot_pos, slot_w,
+                                                     is_slot_cap)
+            is_dropped = is_dropped + drop
         layer_samples.append(LayerSample(
             slot_pos=slot_pos, slot_w=slot_w, slot_aw=slot_aw,
             scales=scales, self_pos=self_pos))
@@ -573,7 +612,8 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
 
     fields.reverse()
     layer_samples.reverse()
-    return BatchFields(fields=tuple(fields), layers=tuple(layer_samples))
+    return BatchFields(fields=tuple(fields), layers=tuple(layer_samples),
+                       is_dropped=is_dropped)
 
 
 class MinibatchIterator:

@@ -281,7 +281,10 @@ class Trainer:
             self.importance_train, jnp.asarray(bm), self._next_key())
         loss = float(metrics["loss"])
         acc = float(metrics["accuracy"])
-        self.amt_data = int(metrics["amt_data"])
+        # CUMULATIVE over the whole run (reference vrgcn.py:62 `+=`,
+        # models.py:347 init-once): the data-budget stop and the epoch
+        # log's `data =` column both read the running total
+        self.amt_data += int(metrics["amt_data"])
         self._record_epoch_stats(metrics, time.time() - t0)
         return loss, acc, time.time() - t0, bm.shape[0]
 

@@ -138,6 +138,11 @@ def scatter_histories(histories, new_histories, fields, num_nodes: int,
 # (field cap ~8k).  The capacity is static, so the choice is trace-time.
 SORTED_SCATTER_MIN_ROWS = 4096
 
+# Largest batch size at which sched_prepass="auto" engages — above it the
+# schedule is work-bound and the pre-pass measured slower (see the A/B
+# table in build_train_epoch).
+PREPASS_MAX_BATCH = 2048
+
 
 def _segment_sorted_scatter(h, ids, rows, bounds):
     """Scatter ``rows`` at ``ids`` into ``h`` exploiting the field's
@@ -214,18 +219,20 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
     unique_fields = cfg.field_dedup or use_importance or mesh is not None
 
     def _step(state: TrainState, graph: PaddedGraph, features, labels,
-              importance, batch_ids, key, importance_rows=None):
+              importance, batch_ids, key, importance_rows=None, pack=None):
         k_sched, k_drop = jax.random.split(jax.random.fold_in(key,
                                                               state.step))
-        pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
-                        need_aw=spec.det_dropout,
-                        importance=importance if use_importance else None,
-                        round_multiple=cfg.dp, mesh=mesh,
-                        is_approx_topk=cfg.is_approx_topk,
-                        is_recall_target=cfg.is_recall_target,
-                        owner_blocks=owner_blocks,
-                        importance_rows=importance_rows,
-                        dedup=cfg.field_dedup)
+        if pack is None:
+            pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
+                            need_aw=spec.det_dropout,
+                            importance=importance if use_importance else None,
+                            round_multiple=cfg.dp, mesh=mesh,
+                            is_approx_topk=cfg.is_approx_topk,
+                            is_recall_target=cfg.is_recall_target,
+                            owner_blocks=owner_blocks,
+                            importance_rows=importance_rows,
+                            dedup=cfg.field_dedup,
+                        is_slot_cap=cfg.is_slot_cap)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = _labels_gather(labels, batch_field, mesh)
@@ -262,7 +269,8 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
                            "field_sizes": field_sizes,
                            "adj_sizes": adj_sizes,
                            "fadj_sizes": fadj_sizes,
-                           "hist_dropped": dropped}
+                           "hist_dropped": dropped,
+                           "is_dropped": pack.is_dropped}
 
     return _step
 
@@ -272,6 +280,49 @@ def make_train_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
     """Jitted single-chip train step with state donation."""
     _step = build_train_step(cfg, spec, degrees, num_nodes)
     return jax.jit(_step, donate_argnums=(0,) if donate else ())
+
+
+def _prepass_schedule(cfg: Config, sched_one, batch_matrix, step0,
+                      num_nodes: int):
+    """Chunked-vmap scheduler pre-pass: compute every step's
+    :class:`BatchFields` pack in ``ceil(S/chunk)`` batched dispatches
+    instead of S latency-bound kernel chains inside the scan body (PERF.md
+    roofline: the schedule is ~15 sequential small kernels, ~0.25 ms of
+    the 0.55 ms batch-512 step).  Chunking caps the expand's [C, F, Dcap]
+    row-gather transients; the per-step keys are derived exactly as the
+    in-step path derives them, so the sampled trajectory is BIT-IDENTICAL
+    (tests/test_options.py::test_sched_prepass_trajectory_identical).
+
+    Returns packs stacked on a leading [S] axis, or None when the
+    estimated pack bytes exceed cfg.sched_prepass_budget_mb (Exact-mode
+    packs are ~17 MB/step — those stay in-step)."""
+    s = batch_matrix.shape[0]
+    chunk = max(1, min(s, cfg.sched_prepass_chunk))
+    s_pad = -(-s // chunk) * chunk
+    step_idx = step0 + jnp.arange(s_pad, dtype=jnp.int32)
+
+    if cfg.sched_prepass != "on":
+        pack_shape = jax.eval_shape(sched_one, batch_matrix[0], step_idx[0])
+        per_step = sum(x.size * x.dtype.itemsize
+                       for x in jax.tree_util.tree_leaves(pack_shape))
+        if per_step * s_pad > cfg.sched_prepass_budget_mb * 1024 * 1024:
+            return None
+
+    bm = batch_matrix
+    if s_pad != s:
+        pad = jnp.full((s_pad - s, bm.shape[1]), num_nodes, bm.dtype)
+        bm = jnp.concatenate([bm, pad])
+
+    def sched_chunk(_, xs):
+        b, si = xs
+        return None, jax.vmap(sched_one)(b, si)
+
+    _, packs = jax.lax.scan(
+        sched_chunk, None,
+        (bm.reshape(s_pad // chunk, chunk, bm.shape[1]),
+         step_idx.reshape(s_pad // chunk, chunk)))
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((s_pad,) + x.shape[2:])[:s], packs)
 
 
 def build_train_epoch(cfg: Config, spec: M.ModelSpec,
@@ -285,8 +336,25 @@ def build_train_epoch(cfg: Config, spec: M.ModelSpec,
     through the device tunnel costs orders of magnitude more than the step
     itself.  Returns (state', {loss, accuracy (last step, matching the
     reference's window-1 Averager), amt_data (summed)}).
+
+    With ``cfg.sched_prepass`` (default auto, single-chip only) the
+    scheduler runs as a chunked vmapped PRE-PASS over all S steps before
+    the scan — see :func:`_prepass_schedule`.
     """
     _step = build_train_step(cfg, spec, degrees, num_nodes, mesh=mesh)
+    use_importance = cfg.importance
+    # auto: only the regime where the A/B measured a win (TPU v5 lite,
+    # scripts/profile_prepass_ab.py): dedup-compacted schedules at small
+    # batch are kernel-LATENCY bound (0.542 -> 0.482 ms/step at 512);
+    # no-dedup schedules have no latency chain left (slot positions are a
+    # trace-time iota; 0.386 -> 0.398) and at large batch the schedule is
+    # WORK-bound, so the pack materialization + per-step slicing only add
+    # cost (4096: 2.461 -> 2.757).
+    auto_ok = (cfg.field_dedup and not use_importance
+               and cfg.batch_size <= PREPASS_MAX_BATCH)
+    prepass = (mesh is None
+               and (cfg.sched_prepass == "on"
+                    or (cfg.sched_prepass == "auto" and auto_ok)))
 
     def _epoch(state: TrainState, graph, features, labels, importance,
                batch_matrix, key):
@@ -297,21 +365,43 @@ def build_train_epoch(cfg: Config, spec: M.ModelSpec,
             from ..sampler.scheduler import importance_row_table
             imp_rows = importance_row_table(graph, importance)
 
-        def body(st, batch_ids):
+        packs = None
+        if prepass:
+            def sched_one(bids, si):
+                # same key derivation as _step (fold_in by step counter)
+                k_sched, _ = jax.random.split(jax.random.fold_in(key, si))
+                return schedule(
+                    k_sched, graph, bids, degrees, spec.cv,
+                    need_aw=spec.det_dropout,
+                    importance=importance if use_importance else None,
+                    round_multiple=cfg.dp, mesh=None,
+                    is_approx_topk=cfg.is_approx_topk,
+                    is_recall_target=cfg.is_recall_target,
+                    owner_blocks=0, importance_rows=imp_rows,
+                    dedup=cfg.field_dedup,
+                        is_slot_cap=cfg.is_slot_cap)
+            packs = _prepass_schedule(cfg, sched_one, batch_matrix,
+                                      state.step, num_nodes)
+
+        def body(st, xs):
+            batch_ids, pack = xs
             st, m = _step(st, graph, features, labels, importance,
-                          batch_ids, key, importance_rows=imp_rows)
+                          batch_ids, key, importance_rows=imp_rows,
+                          pack=pack)
             return st, (m["loss"], m["accuracy"], m["amt_data"],
                         m["field_sizes"], m["adj_sizes"], m["fadj_sizes"],
-                        m["hist_dropped"])
+                        m["hist_dropped"], m["is_dropped"])
 
-        state, (losses, accs, amts, fs, adjs, fadjs, drops) = jax.lax.scan(
-            body, state, batch_matrix, unroll=cfg.scan_unroll)
+        state, (losses, accs, amts, fs, adjs, fadjs, drops,
+                isdrops) = jax.lax.scan(
+            body, state, (batch_matrix, packs), unroll=cfg.scan_unroll)
         return state, {"loss": losses[-1], "accuracy": accs[-1],
                        "amt_data": jnp.sum(amts),
                        "field_sizes": jnp.sum(fs, axis=0),
                        "adj_sizes": jnp.sum(adjs, axis=0),
                        "fadj_sizes": jnp.sum(fadjs, axis=0),
-                       "hist_dropped": jnp.sum(drops)}
+                       "hist_dropped": jnp.sum(drops),
+                       "is_dropped": jnp.sum(isdrops)}
 
     return _epoch
 
@@ -350,7 +440,8 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
                         is_recall_target=cfg.is_recall_target,
                         owner_blocks=owner_blocks,
                         importance_rows=importance_rows,
-                        dedup=cfg.field_dedup)
+                        dedup=cfg.field_dedup,
+                        is_slot_cap=cfg.is_slot_cap)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = _labels_gather(labels, batch_field, mesh)
@@ -430,7 +521,8 @@ def make_eval_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
                         round_multiple=cfg.dp,
                         is_approx_topk=cfg.is_approx_topk,
                         is_recall_target=cfg.is_recall_target,
-                        dedup=cfg.field_dedup)
+                        dedup=cfg.field_dedup,
+                        is_slot_cap=cfg.is_slot_cap)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = jnp.take(labels, batch_field, axis=0)
@@ -467,7 +559,8 @@ def make_pred_and_grad(cfg: Config, spec: M.ModelSpec,
                         round_multiple=cfg.dp,
                         is_approx_topk=cfg.is_approx_topk,
                         is_recall_target=cfg.is_recall_target,
-                        dedup=cfg.field_dedup)
+                        dedup=cfg.field_dedup,
+                        is_slot_cap=cfg.is_slot_cap)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = jnp.take(labels, batch_field, axis=0)

@@ -86,3 +86,50 @@ def test_scan_unroll_matches_default(ds):
     ev_a = tr_a.evaluate(ds.val_d)
     ev_b = tr_b.evaluate(ds.val_d)
     np.testing.assert_allclose(ev_a[0], ev_b[0], rtol=1e-5)
+
+
+def test_sched_prepass_trajectory_identical(ds):
+    """The chunked vmapped scheduler pre-pass derives each step's key
+    exactly as the in-step path does, so training is BIT-identical with
+    it on or off (the dispatch structure is the only difference)."""
+    base = dict(dataset="synthetic", batch_size=32, degree=2, test_degree=2,
+                cv=True, test_cv=True, hidden1=16, dropout=0.3, seed=1,
+                sched_prepass_chunk=2)   # exercise the step-axis padding
+    tr_a = Trainer(Config(**base, sched_prepass="off"), ds)
+    tr_b = Trainer(Config(**base, sched_prepass="on"), ds)
+    for _ in range(3):
+        la, *_ = tr_a.train_epoch()
+        lb, *_ = tr_b.train_epoch()
+    assert la == lb    # bit-identical, not merely close
+    pa = jax.tree_util.tree_leaves(tr_a.state.params)
+    pb = jax.tree_util.tree_leaves(tr_b.state.params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sched_prepass_auto_budget_gate(ds):
+    """auto mode falls back to in-step scheduling when the per-epoch pack
+    exceeds the byte budget — trajectory must still be identical."""
+    base = dict(dataset="synthetic", batch_size=32, degree=2, test_degree=2,
+                cv=True, test_cv=True, hidden1=16, dropout=0.3, seed=1)
+    tr_a = Trainer(Config(**base, sched_prepass="auto",
+                          sched_prepass_budget_mb=0), ds)   # always gated off
+    tr_b = Trainer(Config(**base, sched_prepass="on"), ds)
+    la = lb = None
+    for _ in range(2):
+        la, *_ = tr_a.train_epoch()
+        lb, *_ = tr_b.train_epoch()
+    assert la == lb
+
+
+def test_sched_prepass_importance(ds):
+    """Pre-pass composes with the IS scheduler (union membership tables
+    vmapped over steps)."""
+    base = dict(dataset="synthetic", batch_size=32, degree=2, test_degree=2,
+                importance=True, hidden1=16, dropout=0.2, seed=1)
+    tr_a = Trainer(Config(**base, sched_prepass="off"), ds)
+    tr_b = Trainer(Config(**base, sched_prepass="on"), ds)
+    for _ in range(2):
+        la, *_ = tr_a.train_epoch()
+        lb, *_ = tr_b.train_epoch()
+    assert la == lb

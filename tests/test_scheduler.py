@@ -361,3 +361,62 @@ def test_importance_row_table_equivalent(small):
                                                    imp)
     np.testing.assert_array_equal(np.asarray(sel.sel_ids),
                                   np.asarray(sel_ids))
+
+
+def test_is_slot_cap_semantics(small):
+    """is_slot_compact: with a cap >= the max selected slots per row the
+    sampled edge multiset is unchanged (only reordered within rows); with
+    a small cap the kept slots are the highest-weight ones and the drop
+    count is exact."""
+    from stochastic_gcn_tpu.sampler.scheduler import is_slot_compact
+    ds, g = small
+    imp = compute_importance(g)
+    batch = jnp.asarray(np.arange(8), jnp.int32)
+    key = jax.random.PRNGKey(3)
+    base = schedule(key, g, batch, (3,), cv=False, importance=imp)
+    ls = base.layers[0]
+    w = np.asarray(ls.slot_w)
+    pos = np.asarray(ls.slot_pos)
+    max_sel = int((w > 0).sum(1).max())
+
+    # generous cap: identical (pos, w) multiset per row, zero drops
+    full = schedule(key, g, batch, (3,), cv=False, importance=imp,
+                    is_slot_cap=max(max_sel, 1))
+    assert int(full.is_dropped) == 0
+    wc = np.asarray(full.layers[0].slot_w)
+    pc = np.asarray(full.layers[0].slot_pos)
+    for r in range(w.shape[0]):
+        a = sorted((pos[r, j], w[r, j]) for j in range(w.shape[1])
+                   if w[r, j] > 0)
+        b = sorted((pc[r, j], wc[r, j]) for j in range(wc.shape[1])
+                   if wc[r, j] > 0)
+        assert a == b
+    # fields identical — compaction happens after field construction
+    np.testing.assert_array_equal(np.asarray(base.fields[0]),
+                                  np.asarray(full.fields[0]))
+
+    # tight cap: drops counted exactly, kept slots are the top weights
+    cap = 1
+    tight = schedule(key, g, batch, (3,), cv=False, importance=imp,
+                     is_slot_cap=cap)
+    wt = np.asarray(tight.layers[0].slot_w)
+    expect_drop = int(np.maximum((w > 0).sum(1) - cap, 0).sum())
+    assert int(tight.is_dropped) == expect_drop
+    for r in range(w.shape[0]):
+        kept = sorted(wt[r][wt[r] > 0], reverse=True)
+        best = sorted(w[r][w[r] > 0], reverse=True)[:cap]
+        np.testing.assert_allclose(kept, best, rtol=1e-6)
+
+
+def test_is_slot_cap_trains(small):
+    """IS training with the slot cap runs end-to-end and surfaces the
+    is_dropped metric."""
+    from stochastic_gcn_tpu.config import Config
+    from stochastic_gcn_tpu.training.loop import Trainer
+    ds, g = small
+    cfg = Config(dataset="synthetic", batch_size=8, degree=2, test_degree=2,
+                 importance=True, is_slot_cap=4, hidden1=8, epochs=1,
+                 dropout=0.2, seed=1)
+    tr = Trainer(cfg, ds)
+    loss, *_ = tr.train_epoch()
+    assert np.isfinite(loss)

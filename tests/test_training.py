@@ -167,3 +167,21 @@ def test_segment_sorted_scatter_matches_plain(ds):
         ref = h0.at[f].set(nh)
         np.testing.assert_allclose(np.asarray(got)[:n], np.asarray(ref)[:n],
                                    rtol=0, atol=0)
+
+
+def test_amt_data_accumulates_across_epochs():
+    """`data =` column / data-budget counter is CUMULATIVE over the run
+    (reference vrgcn.py:62 +=, models.py:347 init-once)."""
+    from stochastic_gcn_tpu.config import Config
+    from stochastic_gcn_tpu.data.loaders import synthetic_dataset
+    from stochastic_gcn_tpu.training.loop import Trainer
+    ds = synthetic_dataset(num_nodes=120, feature_dim=8, num_classes=3,
+                           avg_degree=5, seed=0)
+    cfg = Config(dataset="synthetic", batch_size=32, degree=2, test_degree=2,
+                 hidden1=8, seed=1)
+    tr = Trainer(cfg, ds)
+    tr.train_epoch()
+    one = tr.amt_data
+    assert one > 0
+    tr.train_epoch()
+    assert tr.amt_data > one    # grew, not overwritten
