@@ -121,24 +121,31 @@ class Config:
     # recipe is < 2, so 8 is a comfortable cap.
     is_slot_cap: int = 0
     # Dedup-compact each receptive field (the reference's `visited` map,
-    # scheduler.cpp:48-52).  --nofield_dedup appends sampled neighbor ids
-    # to the field WITHOUT dedup: duplicate ids occupy separate positions
-    # and recompute identical values (static capacities make this free
-    # whenever F*degree <= N — the capacity clamp never bound), while the
-    # scheduler's O(N) cumsum/mask compaction passes (~45% of the headline
-    # step at batch 4096, PERF.md roofline) disappear entirely; slot
-    # positions become a trace-time iota.  Estimator deviation vs dedup:
+    # scheduler.cpp:48-52).  The DEFAULT is the no-dedup (append-only)
+    # layout: sampled neighbor ids append to the field without dedup,
+    # duplicate ids occupy separate positions and recompute identical
+    # values (static capacities make this free whenever F*degree <= N —
+    # the capacity clamp never bound), while the scheduler's O(N)
+    # cumsum/mask compaction passes (~45% of the headline step at batch
+    # 4096, PERF.md roofline) disappear entirely; slot positions become a
+    # trace-time iota.  Measured on TPU v5 lite at the headline recipe:
+    # 0.542 -> 0.386 ms/step at batch 512 (scripts/profile_prepass_ab.py),
+    # and the full replica acceptance bands hold under it
+    # (REPLICA_VALIDATION_NODEDUP.json) — the same validate-then-default
+    # path bf16 history took.  --field_dedup restores the
+    # reference-faithful compacted layout.  Estimator deviation vs dedup:
     # each duplicate position expands its OWN neighbor sample (and dropout
     # mask) below it where the reference's `visited` map shares one sample
     # per node — every position remains an iid unbiased estimate of the
     # same activation, so unbiasedness and CV->exact-at-full-degree are
     # preserved (tests/test_field_dedup.py); the trajectory is a different
-    # (equally distributed) sample stream than dedup's, identical only at
-    # the first expansion.  Forced ON under --importance (slots address
-    # the selected union by id) and with a mesh (owner-routed transports
-    # assume unique field rows); in Exact mode capacity grows as
-    # F*max_degree without the N clamp.
-    field_dedup: bool = True
+    # (equally distributed) sample stream than dedup's.  Dedup is forced
+    # back ON (scheduler.effective_dedup) under --importance (slots
+    # address the selected union by id), with a mesh (owner-routed
+    # transports assume unique field rows), and whenever a layer's
+    # candidate count F*k reaches N (Exact mode — append-only capacities
+    # would grow combinatorially where the dedup clamp caps them).
+    field_dedup: bool = False
     # Hoist the on-device scheduler OUT of the per-step scan body into a
     # chunked vmapped per-epoch pre-pass (one batched dispatch schedules
     # every step of the epoch).  At small batch the schedule is

@@ -114,6 +114,36 @@ def field_capacities(batch_size: int, degrees: Sequence[int], num_nodes: int,
     return caps
 
 
+def effective_dedup(dedup: bool, batch_size: int, degrees: Sequence[int],
+                    num_nodes: int, pad_degree: int,
+                    importance: bool = False, mesh=None,
+                    owner_blocks: int = 0) -> bool:
+    """Whether fields are dedup-compacted this run (trace-time decision).
+
+    The no-dedup (append-only) layout is only active when nothing forces
+    compaction: importance sampling (slots address selected union members
+    by id), meshes / owner-aligned layouts (owner-routed transports assume
+    unique field rows), or any layer whose candidate count ``f*k`` exceeds
+    ``2*num_nodes`` — past that point the dedup capacity clamp
+    ``min(f*k, N)`` saves >2x field rows (and the dense-layer FLOPs that
+    ride them), and append-only capacities grow combinatorially instead
+    (Exact mode at Reddit scale would need millions of field rows, where
+    the clamp caps them at N).  Below the threshold the layouts' capacity
+    difference is at most 2x and the append layout's skipped compaction
+    passes win (PERF.md).  Used by both :func:`schedule` and the
+    history-scatter uniqueness contract (training/step.py) so they can
+    never disagree."""
+    if dedup or importance or owner_blocks > 1 or mesh is not None:
+        return True
+    f = batch_size
+    for degree in reversed(list(degrees)):
+        k = min(degree, pad_degree)
+        if f * k > 2 * num_nodes:
+            return True
+        f = f + f * k
+    return False
+
+
 def compute_importance(graph) -> jax.Array:
     """Per-node importance = 1e-6 + sum of squared in-edge weights
     (scheduler.cpp:21-26)."""
@@ -548,8 +578,10 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
     n = graph.num_nodes
     degrees = list(degrees)
     num_layers = len(degrees)
-    dedup = (dedup or importance is not None or owner_blocks > 1
-             or mesh is not None)
+    dedup = effective_dedup(dedup, batch_ids.shape[0], degrees, n,
+                            graph.pad_degree,
+                            importance=importance is not None,
+                            mesh=mesh, owner_blocks=owner_blocks)
     caps = field_capacities(batch_ids.shape[0], degrees, n, graph.pad_degree,
                             importance=importance is not None,
                             round_multiple=round_multiple, dedup=dedup)

@@ -214,12 +214,18 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
     # owner-aligned field layout: every chip's positional chunk of each
     # field holds the node rows that chip owns (see compact_field_aligned)
     owner_blocks = cfg.dp if (cfg.owner_batching and mesh is not None) else 0
-    # fields carry unique ids unless the no-dedup layout is ACTIVE
-    # (schedule() forces dedup back on under importance/mesh)
-    unique_fields = cfg.field_dedup or use_importance or mesh is not None
 
     def _step(state: TrainState, graph: PaddedGraph, features, labels,
               importance, batch_ids, key, importance_rows=None, pack=None):
+        # fields carry unique ids unless the no-dedup layout is ACTIVE —
+        # the SAME trace-time decision schedule() makes (effective_dedup),
+        # so the scatter's uniqueness contract can never disagree with the
+        # field layout
+        from ..sampler.scheduler import effective_dedup
+        unique_fields = effective_dedup(
+            cfg.field_dedup, batch_ids.shape[0], degrees, num_nodes,
+            graph.pad_degree, importance=use_importance, mesh=mesh,
+            owner_blocks=owner_blocks)
         k_sched, k_drop = jax.random.split(jax.random.fold_in(key,
                                                               state.step))
         if pack is None:
@@ -343,18 +349,6 @@ def build_train_epoch(cfg: Config, spec: M.ModelSpec,
     """
     _step = build_train_step(cfg, spec, degrees, num_nodes, mesh=mesh)
     use_importance = cfg.importance
-    # auto: only the regime where the A/B measured a win (TPU v5 lite,
-    # scripts/profile_prepass_ab.py): dedup-compacted schedules at small
-    # batch are kernel-LATENCY bound (0.542 -> 0.482 ms/step at 512);
-    # no-dedup schedules have no latency chain left (slot positions are a
-    # trace-time iota; 0.386 -> 0.398) and at large batch the schedule is
-    # WORK-bound, so the pack materialization + per-step slicing only add
-    # cost (4096: 2.461 -> 2.757).
-    auto_ok = (cfg.field_dedup and not use_importance
-               and cfg.batch_size <= PREPASS_MAX_BATCH)
-    prepass = (mesh is None
-               and (cfg.sched_prepass == "on"
-                    or (cfg.sched_prepass == "auto" and auto_ok)))
 
     def _epoch(state: TrainState, graph, features, labels, importance,
                batch_matrix, key):
@@ -365,6 +359,24 @@ def build_train_epoch(cfg: Config, spec: M.ModelSpec,
             from ..sampler.scheduler import importance_row_table
             imp_rows = importance_row_table(graph, importance)
 
+        # auto: only the regime where the A/B measured a win (TPU v5 lite,
+        # scripts/profile_prepass_ab.py): dedup-compacted schedules at
+        # small batch are kernel-LATENCY bound (0.542 -> 0.482 ms/step at
+        # 512); no-dedup schedules have no latency chain left (slot
+        # positions are a trace-time iota; 0.386 -> 0.398) and at large
+        # batch the schedule is WORK-bound, so the pack materialization +
+        # per-step slicing only add cost (4096: 2.461 -> 2.757).  The
+        # dedup test uses the EFFECTIVE layout (schedule may force dedup
+        # back on), decided from the graph's static pad_degree.
+        from ..sampler.scheduler import effective_dedup
+        auto_ok = (effective_dedup(cfg.field_dedup, batch_matrix.shape[1],
+                                   degrees, num_nodes, graph.pad_degree,
+                                   importance=use_importance)
+                   and not use_importance
+                   and batch_matrix.shape[1] <= PREPASS_MAX_BATCH)
+        prepass = (mesh is None
+                   and (cfg.sched_prepass == "on"
+                        or (cfg.sched_prepass == "auto" and auto_ok)))
         packs = None
         if prepass:
             def sched_one(bids, si):
@@ -427,10 +439,14 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
     device->host transfers dominate eval time otherwise)."""
     use_importance = cfg.test_importance
     owner_blocks = cfg.dp if (cfg.owner_batching and mesh is not None) else 0
-    unique_fields = cfg.field_dedup or use_importance or mesh is not None
 
     def _eval_one(params, histories, graph, features, labels, importance,
                   batch_ids, key, importance_rows=None):
+        from ..sampler.scheduler import effective_dedup
+        unique_fields = effective_dedup(
+            cfg.field_dedup, batch_ids.shape[0], degrees, num_nodes,
+            graph.pad_degree, importance=use_importance, mesh=mesh,
+            owner_blocks=owner_blocks)
         k_sched, k_drop = jax.random.split(key)
         pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
                         need_aw=spec.det_dropout,
@@ -510,10 +526,13 @@ def make_eval_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
     importance, batch_ids, key) -> (metrics, eval_histories')``.
     """
     use_importance = cfg.test_importance
-    unique_fields = cfg.field_dedup or use_importance
 
     def _eval(params, histories, graph: PaddedGraph, features, labels,
               importance, batch_ids, key):
+        from ..sampler.scheduler import effective_dedup
+        unique_fields = effective_dedup(
+            cfg.field_dedup, batch_ids.shape[0], degrees, num_nodes,
+            graph.pad_degree, importance=use_importance)
         k_sched, k_drop = jax.random.split(key)
         pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
                         need_aw=spec.det_dropout,

@@ -138,7 +138,7 @@ def test_edgelist_sharded_history_matches_single_device(ds):
     base = dict(dataset="synthetic", batch_size=64, degree=1, test_degree=1,
                 cv=True, test_cv=True, hidden1=16, dropout=0.2, seed=1,
                 graph_format="edgelist", fadj_edge_mult=1e9,
-                test_batch_size=64)
+                test_batch_size=64, field_dedup=True)   # mesh arm forces it
     tr1 = Trainer(Config(**base), ds)
     trN = Trainer(Config(**base, dp=n_dev), ds)
     for _ in range(2):

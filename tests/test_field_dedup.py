@@ -125,7 +125,7 @@ def test_nodedup_cv_trains_and_matches_dedup_quality(ds):
     estimator expectation, different sample stream)."""
     base = dict(dataset="synthetic", batch_size=64, degree=2, test_degree=2,
                 cv=True, test_cv=True, hidden1=16, dropout=0.2, seed=1)
-    tr_a = Trainer(Config(**base), ds)
+    tr_a = Trainer(Config(**base, field_dedup=True), ds)
     tr_b = Trainer(Config(**base, field_dedup=False), ds)
     la = lb = None
     for _ in range(12):
@@ -155,3 +155,21 @@ def test_nodedup_cv_inference_reaches_exact(ds):
     logits = dense_forward_gcn_pp(ds, tr.state.params, ds.full_adj)
     expect = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
     np.testing.assert_allclose(preds, expect, atol=2e-3)
+
+
+def test_effective_dedup_forcing():
+    """No-dedup is forced back to dedup exactly where compaction matters:
+    importance, meshes/owner blocks, or a layer with f*k > 2N (Exact mode
+    would explode append-only capacities)."""
+    from stochastic_gcn_tpu.sampler.scheduler import effective_dedup
+    # headline regime: deg-1, huge graph -> append layout active
+    assert not effective_dedup(False, 512, [1], 233_000, 64)
+    # explicit dedup request wins
+    assert effective_dedup(True, 512, [1], 233_000, 64)
+    # importance / owner blocks force dedup
+    assert effective_dedup(False, 512, [1], 233_000, 64, importance=True)
+    assert effective_dedup(False, 512, [1], 233_000, 64, owner_blocks=4)
+    # Exact mode (k = pad degree): f*k blows past 2N at the second layer
+    assert effective_dedup(False, 512, [10000, 10000], 233_000, 64)
+    # small graphs below the 2x-waste threshold stay append-only
+    assert not effective_dedup(False, 16, [3, 3], 150, 8)

@@ -89,6 +89,9 @@ def test_sharded_history_matches_replicated(setup):
     """Node-sharded history layout (each chip owns N/P rows) produces the
     same training step results as the replicated layout."""
     cfg, ds = setup
+    # pin the dedup layout: the sharded arm forces it (owner-routed
+    # transports), and the parity property needs both arms on one layout
+    cfg = cfg.replace(field_dedup=True)
     n_dev = len(jax.devices())
     s_rep, m_rep = _run_step(cfg, ds, n_dev, shard_history=False)
     s_sh, m_sh = _run_step(cfg, ds, n_dev, shard_history=True)
@@ -110,6 +113,7 @@ def test_sharded_estimator_variants_match_replicated(setup, variant):
     moment gathers ride the fetch-routed activation transport when the
     history is sharded — both must reproduce the replicated layout."""
     cfg, ds = setup
+    cfg = cfg.replace(field_dedup=True)   # both arms on one field layout
     cfgv = cfg.replace(cvd=True) if variant == "cvd" \
         else cfg.replace(det_dropout=True, dropout=0.2)
     n_dev = len(jax.devices())
@@ -401,6 +405,7 @@ def test_halo_exchange_matches_gspmd(setup):
     (local contraction + psum_scatter) matches GSPMD's default lowering
     and the single-device result."""
     cfg, ds = setup
+    cfg = cfg.replace(field_dedup=True)   # all arms on one field layout
     n_dev = len(jax.devices())
     s_halo, m_halo = _run_step(cfg, ds, n_dev, shard_history=True)
     s_gspmd, m_gspmd = _run_step(cfg.replace(halo_exchange=False), ds,
