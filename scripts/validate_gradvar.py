@@ -62,31 +62,38 @@ def main():
     results = {"device": str(jax.devices()[0]), "times": args.times}
     t_all = time.time()
 
-    # (suite, trainer overrides, [(algo, gradvar overrides), ...]) —
-    # reference var_exps rows; D* = with dropout (run-experiments.py:23-32)
+    # (suite, measurement overrides shared by the suite, trainer extras,
+    # [(algo, gradvar overrides), ...]) — reference var_exps rows;
+    # D* = with dropout (run-experiments.py:23-32).  The suite's dropout
+    # setting applies to the MEASUREMENT configs too (the reference's
+    # var.sh passes --dropout 0 to both the train and --gradvar runs).
     suites = [
-        ("nodrop", dict(dropout=0.0, cv=True, test_cv=True, degree=1),
+        ("nodrop", dict(dropout=0.0), dict(cv=True, test_cv=True, degree=1),
          [("NS", dict(degree=1, preprocess=False, test_preprocess=False,
                       cv=False, test_cv=False)),
           ("NSPP", dict(degree=1, cv=False, test_cv=False)),
           ("CVPP", dict(degree=1, cv=True, test_cv=True))]),
-        ("dropout", dict(cv=True, test_cv=True, degree=1),
+        ("dropout", dict(), dict(cv=True, test_cv=True, degree=1),
          [("NS", dict(degree=1, preprocess=False, test_preprocess=False,
                       cv=False, test_cv=False)),
           ("NSPP", dict(degree=1, cv=False, test_cv=False)),
           ("CVPP", dict(degree=1, cv=True, test_cv=True))]),
-        ("dropout_cvd", dict(cv=True, cvd=True, test_cv=True, test_cvd=True,
-                             degree=1),
+        ("dropout_cvd", dict(),
+         dict(cv=True, cvd=True, test_cv=True, test_cvd=True, degree=1),
          [("CVDPP", dict(degree=1, cv=True, cvd=True, test_cv=True,
                          test_cvd=True))]),
     ]
 
-    for suite, train_over, algos in suites:
+    for suite, suite_over, train_over, algos in suites:
         ckpt = os.path.join(args.tmp, f"ckpt_{suite}")
+        # no early stopping: Theorem 2's zero-bias claim needs CONVERGED
+        # weights (histories == exact activations of the final params);
+        # the reference's var suite likewise trains its full budget
         base = Config(dataset="cora", data_dir=cora_dir, test_degree=10000,
-                      epochs=200, early_stopping=10, seed=1,
+                      epochs=200, early_stopping=100000, seed=1,
                       batch_size=1000, test_batch_size=1000,
-                      ckpt_dir=ckpt)
+                      history_dtype="float32",   # estimator-math record
+                      ckpt_dir=ckpt, **suite_over)
         ds = L.load_gcn_data("cora", base)
         t0 = time.time()
         tr = Trainer(base.replace(**train_over), ds)
@@ -99,6 +106,20 @@ def main():
             cfg = base.replace(gradvar=True, load=True, **over)
             tr = Trainer(cfg, ds)
             tr.load()
+            if tr.state.histories:
+                # Theorem 2's zero-bias claim holds when histories equal
+                # the exact activations of the measured weights (the
+                # converged regime).  num_layers+1 exact eval passes
+                # converge the eval-side histories (train.py:339-341);
+                # copy them into the train-side buffers the sampled
+                # estimator reads.
+                import dataclasses as dc
+                import numpy as _np
+                all_ids = _np.arange(ds.num_data, dtype=_np.int32)
+                for _ in range(cfg.num_layers + 1):
+                    tr.evaluate(all_ids)
+                tr.state = dc.replace(tr.state,
+                                      histories=tr.eval_histories)
             t0 = time.time()
             r = tr.gradient_variance(times=args.times, log=lambda *a: None)
             res[name] = {k: round(float(v), 5) for k, v in r.items()}
@@ -118,11 +139,26 @@ def main():
         if not cond:
             failures.append(msg)
 
-    check(nd["CVPP"]["grad_bias"] < 0.05,
-          f"no-dropout CV grad bias {nd['CVPP']['grad_bias']} not ~0 "
-          "(Theorem 2: CV is exact at convergence)")
-    check(nd["CVPP"]["grad_bias"] < nd["NSPP"]["grad_bias"],
-          "no-dropout CV grad bias not below NS+PP's")
+    # Theorem 2 at convergence: the CV FORWARD is exactly the full forward
+    # (prediction bias AND stdev identically zero over resamples — a
+    # stronger check than the reference's bar chart).  Gradients flow
+    # through the SAMPLED adjacency (h-bar is a constant w.r.t. params),
+    # so they are unbiased-but-noisy: the measured grad "bias" must be
+    # statistically indistinguishable from zero (within 3 standard errors
+    # of the resample mean), while NS+PP's is a REAL bias (>3 SE).
+    import math
+    se = lambda r: r["grad_stdev"] / math.sqrt(args.times)
+    check(nd["CVPP"]["pred_bias"] < 1e-5 and nd["CVPP"]["pred_stdev"] < 1e-5,
+          f"no-dropout CV forward not exact: pred_bias="
+          f"{nd['CVPP']['pred_bias']}, pred_stdev={nd['CVPP']['pred_stdev']}"
+          " (Theorem 2: CV inference is exact at convergence)")
+    check(nd["CVPP"]["grad_bias"] < 3 * se(nd["CVPP"]),
+          f"no-dropout CV grad bias {nd['CVPP']['grad_bias']} exceeds 3 SE "
+          f"({3 * se(nd['CVPP']):.4f}) — real bias, should be zero")
+    check(nd["NSPP"]["grad_bias"] > 3 * se(nd["NSPP"]),
+          f"no-dropout NS+PP grad bias {nd['NSPP']['grad_bias']} not "
+          "significant — expected a real bias (the paper's motivating "
+          "observation)")
     check(nd["CVPP"]["grad_stdev"] < nd["NSPP"]["grad_stdev"],
           f"no-dropout CV grad stdev {nd['CVPP']['grad_stdev']} not below "
           f"NS+PP {nd['NSPP']['grad_stdev']}")
