@@ -123,24 +123,31 @@ def build_planted_labels(base, cache="data/bench_reddit_planted.npz"):
 # Reddit vs ~0.963 plateau).  Real Reddit doesn't ship with either repo, so
 # the A/B runs on a degree-corrected SBM with planted communities and
 # power-law degrees (data/loaders.py::community_sbm_dataset) calibrated so
-# the 2-layer GCN needs BOTH hops: raw features ~0.1 linear accuracy,
-# 1-hop ~0.75, 2-hop ~1.0 — the regime where sampled-layer variance
-# separates the estimators (CPU calibration: NS+PP deg1 plateaus ~0.84,
-# CV+PP ~0.94, CVD+PP ~0.98, Exact ~0.99 on the 8k-node version).
+# the 2-layer GCN needs BOTH hops: raw features ~0.05 linear accuracy,
+# 1-hop ~0.7, 2-hop ~1.0 — the regime where sampled-layer variance
+# separates the estimators.  snr=0.04 set by a TPU sweep on the full
+# 65536-node graph (snr 0.02 is too hard: CV+PP plateaus 0.69 and CVD
+# diverges at lr 0.01; snr 0.03 leaves CV+PP at 0.865, under the band):
+# 40-epoch plateaus at 0.04 are NS+PP 0.847, CV+PP 0.950, CVD+PP 0.992,
+# Exact 0.995 — the 0.90 band separates NS from CV/CVD/Exact just as the
+# reference's 0.94-of-0.963 Reddit protocol does.
 AB_TARGET_F1 = 0.90
-AB_SNR = 0.02
+AB_SNR = 0.04
 AB_ALGOS = [
     # grid per reference scripts/analyze-time.py exps (deg, cv, pp):
-    # Exact = full degree NO PP; the sampled algos ride PP (default)
-    ("exact", dict(degree=10000, preprocess=False, test_preprocess=False)),
-    ("nspp", dict(degree=1)),
-    ("cvpp", dict(degree=1, cv=True, test_cv=True)),
+    # Exact = full degree NO PP; the sampled algos ride PP (default).
+    # Per-algo epoch budget: Exact is in band by epoch 2 and at plateau
+    # by 8; the sampled arms get the full 40 so plateaus are converged.
+    ("exact", dict(degree=10000, preprocess=False, test_preprocess=False),
+     12),
+    ("nspp", dict(degree=1), 40),
+    ("cvpp", dict(degree=1, cv=True, test_cv=True), 40),
     ("cvdpp", dict(degree=1, cv=True, cvd=True, test_cv=True,
-                   test_cvd=True)),
+                   test_cvd=True), 40),
 ]
 
 
-def build_community_reddit(cache="data/bench_sbm_reddit.npz"):
+def build_community_reddit(cache=f"data/bench_sbm_reddit_snr{AB_SNR}.npz"):
     from stochastic_gcn_tpu.data.loaders import (_cache_dataset,
                                                  _load_cached,
                                                  community_sbm_dataset)
@@ -154,7 +161,7 @@ def build_community_reddit(cache="data/bench_sbm_reddit.npz"):
     return ds
 
 
-def run_estimator_ab(target_f1=AB_TARGET_F1, max_epochs=40, log=print):
+def run_estimator_ab(target_f1=AB_TARGET_F1, log=print):
     """Epochs / train-seconds / sampled-data to the target val micro-F1 for
     Exact vs NS+PP vs CV+PP vs CVD+PP on the community benchmark graph.
 
@@ -174,7 +181,7 @@ def run_estimator_ab(target_f1=AB_TARGET_F1, max_epochs=40, log=print):
                 hidden1=HIDDEN, normalization="graphsage", layer_norm=True,
                 num_fc_layers=2, weight_decay=0.0, dropout=0.2,
                 test_batch_size=2048, pad_degree=64, seed=1)
-    for name, over in AB_ALGOS:
+    for name, over, max_epochs in AB_ALGOS:
         cfg = Config(**base, **over)
         tr = Trainer(cfg, ds)
         tr.train_epoch()
@@ -448,6 +455,13 @@ def main():
         # (free the throughput trainers' HBM first)
         del tr, tr16, tr_big, m2, m16, metrics
         result.update(run_convergence(cfg, ds))
+    if not fast:
+        # third north-star: the paper's headline claim, estimator
+        # time-to-accuracy A/B on the community benchmark graph
+        # (/root/reference/README.md:44 — "CVD+PP has similar accuracy
+        # with Exact, but is faster")
+        del ds
+        result.update(run_estimator_ab())   # logs to stderr
     if edges_per_s_bf16 is not None:
         result["edges_per_s_f32_history"] = round(edges_per_s_bf16, 1)
         result["vs_baseline_f32_history"] = round(

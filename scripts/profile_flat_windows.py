@@ -10,6 +10,9 @@ Variants:
   elemgather take(flat, start[:,None]+arange(W))      — explicit elements
   blockrow   reshape flat -> [E/B, B], take block rows covering each
              window, then take_along_axis locally      — row-issue path
+  aligned    rows pre-aligned to B boundaries at build time: gather
+             ceil(W/B) whole blocks per row, NO compaction (extra slots
+             masked downstream) — the production candidate
   padded     jnp.take on a padded [N, W] table         — the comparator
 """
 import sys, os
@@ -52,15 +55,26 @@ def elemgather(flat, starts, W):
     return jnp.take(flat, idx, axis=0)
 
 
-def blockrow(flat, starts, W):
-    nb = W // B + 2                      # blocks covering any alignment
-    tab = flat.reshape(-1, B)            # [E/B, B]
-    b0 = starts // B
+def blockrow(flat, starts, W, blk=B):
+    nb = W // blk + 2                    # blocks covering any alignment
+    tab = flat.reshape(-1, blk)          # [E/B, B]
+    b0 = starts // blk
     bids = b0[:, None] + jnp.arange(nb, dtype=jnp.int32)[None, :]
     rows = jnp.take(tab, bids, axis=0)   # [F, nb, B]
-    wide = rows.reshape(rows.shape[0], nb * B)
-    off = (starts % B)[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    wide = rows.reshape(rows.shape[0], nb * blk)
+    off = (starts % blk)[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
     return jnp.take_along_axis(wide, off, axis=1)
+
+
+def aligned(flat, bstarts, W, blk=B):
+    """Rows pre-aligned to block boundaries: bstarts are BLOCK indices.
+    Output is [F, ceil(W/B)*B] — wider than W, extra slots carry whatever
+    padding the build wrote (masked downstream by deg), zero compaction."""
+    nb = -(-W // blk)
+    tab = flat.reshape(-1, blk)
+    bids = bstarts[:, None] + jnp.arange(nb, dtype=jnp.int32)[None, :]
+    rows = jnp.take(tab, bids, axis=0)   # [F, nb, B]
+    return rows.reshape(rows.shape[0], nb * blk)
 
 
 def main():
@@ -83,8 +97,39 @@ def main():
                          ("blockrow  ", partial(blockrow, W=W))):
             ms = bench(fn, flat, starts)
             log(f"  {name} {ms:7.3f} ms")
+        for blk in (8, 16, 128):
+            ms = bench(partial(blockrow, W=W, blk=blk), flat, starts)
+            log(f"  blockrow B={blk:<4} {ms:7.3f} ms")
+        for blk in (8, 16, 128):
+            bstarts = jnp.asarray(
+                (np.asarray(starts) // blk).astype(np.int32))
+            ms = bench(partial(aligned, W=W, blk=blk), flat, bstarts)
+            log(f"  aligned  B={blk:<4} {ms:7.3f} ms  "
+                f"(slots {-(-W // blk) * blk})")
         ms = bench(lambda t, r: jnp.take(t, r, axis=0), tab, rows)
         log(f"  padded-take {ms:7.3f} ms")
+        # aligned + the downstream [F, slots, d] hist row gather it feeds,
+        # to see the end-to-end tradeoff of the widened slot count
+        hist = jnp.asarray(rng.normal(size=(N, 128)).astype(np.float32))
+        for blk in (8, 128):
+            slots = -(-W // blk) * blk
+            bstarts = jnp.asarray(
+                (np.asarray(starts) // blk).astype(np.int32))
+
+            def end2end(flat_, bs, hist_, blk=blk, slots=slots):
+                win = aligned(flat_, bs, W, blk=blk)
+                ids = (win.astype(jnp.int32) % N)
+                rws = jnp.take(hist_, ids, axis=0)
+                return jnp.einsum("fk,fkd->fd", win, rws)
+            ms = bench(end2end, flat, bstarts, hist)
+            log(f"  aligned+hist B={blk:<4} {ms:7.3f} ms (slots {slots})")
+        def end2end_dyn(flat_, s, hist_):
+            win = dynslice(flat_, s, W)
+            ids = (win.astype(jnp.int32) % N)
+            rws = jnp.take(hist_, ids, axis=0)
+            return jnp.einsum("fk,fkd->fd", win, rws)
+        ms = bench(end2end_dyn, flat, starts, hist)
+        log(f"  dynslice+hist     {ms:7.3f} ms (slots {W})")
     # element gather of k=1 chosen slots (the offset-sampling candidate)
     off1 = jnp.asarray(rng.integers(0, 40, size=(F,)).astype(np.int32))
     ms = bench(lambda f_, s, o: jnp.take(f_, s + o, axis=0),
