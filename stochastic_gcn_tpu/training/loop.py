@@ -151,6 +151,10 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed)
         self.key, init_key = jax.random.split(key)
         self.state = S.init_train_state(init_key, cfg, self.train_spec, n)
+        # incremental-refresh bookkeeping for predict(): bumped on every
+        # weight change; eval histories are converged for exactly one value
+        self._params_version = 0
+        self._hist_fresh_version = -1
         # eval-side history is SEPARATE from train-side, as in the reference
         # (tf.Variable outside make_template; train.py:174)
         self.eval_histories = M.init_histories(
@@ -279,6 +283,7 @@ class Trainer:
         self.state, metrics = self._train_epoch(
             self.state, self.graph_train, self.train_features, self.labels,
             self.importance_train, jnp.asarray(bm), self._next_key())
+        self._params_version += 1
         loss = float(metrics["loss"])
         acc = float(metrics["accuracy"])
         # CUMULATIVE over the whole run (reference vrgcn.py:62 `+=`,
@@ -362,13 +367,23 @@ class Trainer:
         passes over every node so the eval-side history converges and the
         returned values equal exact inference — the Test protocol
         (train.py:339-341), the predict pass itself being pass L+1.
+
+        The refresh is INCREMENTAL: histories converged under the current
+        weights stay converged (re-evaluating the fixed point reproduces
+        it), so repeated serving calls pay the ``num_layers`` full passes
+        once per weight change, not once per call (pass
+        ``refresh="force"`` to override, e.g. after mutating
+        ``eval_histories`` by hand).
         """
         cfg = self.cfg
         n = self.ds.num_data
-        if refresh and cfg.test_cv:
+        stale = (refresh == "force"
+                 or self._hist_fresh_version != self._params_version)
+        if refresh and cfg.test_cv and stale:
             all_ids = np.arange(n, dtype=np.int32)
             for _ in range(cfg.num_layers):
                 self.evaluate(all_ids)
+            self._hist_fresh_version = self._params_version
         ids = np.asarray(data_ids, np.int64)
         internal = np.asarray(self._to_internal(ids), np.int32)
         # order-preserving batch layout (predict reassembles by id, so the
@@ -519,6 +534,7 @@ class Trainer:
             self.cfg.ckpt_dir, self.state, self.eval_histories, self.key,
             load_history=load_history)
         self.key = key          # resume the saved RNG stream
+        self._params_version += 1      # new weights: predict must refresh
         if load_history:
             self.eval_histories = eval_hist
         if self.mesh is not None:

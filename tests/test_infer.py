@@ -80,6 +80,32 @@ def test_predict_invariant_to_test_batch_size(ds):
     np.testing.assert_allclose(out[0], out[1], rtol=5e-4, atol=5e-5)
 
 
+def test_predict_refresh_is_incremental(ds):
+    """Repeated predict() calls pay the num_layers full refresh passes once
+    per weight change: the second call must skip the refresh (histories
+    converged under unchanged weights stay converged), a train_epoch or
+    load must re-arm it, and refresh="force" overrides the skip."""
+    tr = _trained(Config(dataset="synthetic", **KW), ds)
+    ids = np.asarray(ds.test_d[:10])
+    calls = []
+    orig_evaluate = tr.evaluate
+    tr.evaluate = lambda d: calls.append(len(d)) or orig_evaluate(d)
+
+    p1 = tr.predict(ids)
+    n_refresh = len(calls)
+    assert n_refresh == tr.cfg.num_layers     # full refresh on first call
+    p2 = tr.predict(ids)
+    assert len(calls) == n_refresh            # second call: no refresh
+    np.testing.assert_allclose(p2, p1, rtol=1e-6, atol=1e-7)
+
+    tr.predict(ids, refresh="force")
+    assert len(calls) == 2 * n_refresh        # explicit override refreshes
+
+    tr.train_epoch()                          # weights changed
+    tr.predict(ids)
+    assert len(calls) == 3 * n_refresh        # stale -> refresh again
+
+
 def test_infer_cli_roundtrip(tmp_path):
     from stochastic_gcn_tpu.cli import infer
     name = "synthetic:120:16:4"
