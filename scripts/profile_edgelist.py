@@ -57,7 +57,7 @@ def run(tag, **kw):
     t0 = time.time(); tr = Trainer(cfg, ds)
     g = tr.graph_train
     if hasattr(g, "idx"):
-        gbytes = (g.indptr.nbytes + g.idx.nbytes + g.w.nbytes
+        gbytes = (g.bstart.nbytes + g.idx.nbytes + g.w.nbytes
                   + g.deg.nbytes)
     else:
         gbytes = g.nbr.nbytes + g.w.nbytes + g.deg.nbytes

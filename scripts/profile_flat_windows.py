@@ -79,7 +79,8 @@ def aligned(flat, bstarts, W, blk=B):
 
 def main():
     rng = np.random.default_rng(0)
-    flat = jnp.asarray(rng.normal(size=(E,)).astype(np.float32))
+    e_pad = -(-E // 128) * 128 + 512     # block-divisible + window slack
+    flat = jnp.asarray(rng.normal(size=(e_pad,)).astype(np.float32))
     starts = jnp.asarray(
         rng.integers(0, E - 512, size=(F,)).astype(np.int32))
     padded_w = {}

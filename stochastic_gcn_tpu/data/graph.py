@@ -122,38 +122,48 @@ class FlatGraph:
 
     Storage is O(E) instead of O(N * max_degree): hub-heavy graphs (NELL
     without --max_degree caps) keep exact neighborhoods without padding the
-    whole graph to the hub degree.  Row windows for the fanout sampler are
-    materialized per-field on the fly (same gather count as PaddedGraph);
-    the CV full-neighborhood term runs over a flat per-batch edge
-    enumeration + sorted segment-sum (see
-    models/aggregators.py::full_neighborhood_mean_edgelist).
+    whole graph to the hub degree.  Row windows for the fanout sampler and
+    the CV full-neighborhood term are materialized per-field on the fly
+    (see :func:`flat_row_windows`).
+
+    Storage is BLOCK-ALIGNED: every CSR row starts on a ``BLOCK``-element
+    boundary of the flat arrays, which are kept as 2-D ``[NB, BLOCK]``
+    tables.  A width-W row window is then ``ceil(W / BLOCK)`` whole-block
+    row gathers plus a static slice — measured 3-5x faster on TPU than
+    ``vmap(dynamic_slice)`` over a 1-D array, which lowers to one gather
+    ISSUE per element (W issues/row; PERF.md "Edge-list layout", round 3).
+    Alignment costs < (BLOCK-1) pad slots per row (~BLOCK/2 expected).
 
     Attributes:
-      indptr: [N+2] int32 row starts; row N is the empty sentinel row.
-      idx:    [E + max_degree] int32 flat neighbor ids, tail-padded with
-              the sentinel id N so fixed-width row windows never clamp.
-      w:      [E + max_degree] float32 edge weights, tail-padded with 0.
+      bstart: [N+2] int32 BLOCK index of each row's aligned start; row N
+              is the empty sentinel row (tail blocks, all padding).
+      idx:    [NB, BLOCK] int32 neighbor ids; alignment gaps and the tail
+              hold the sentinel id N so row windows never read junk.
+      w:      [NB, BLOCK] float32 edge weights; gaps/tail hold 0.
       deg:    [N+1] int32 row lengths; deg[N] = 0.
       max_degree:       static — true max row length (sampler row window).
       edge_cap_per_row: static — per-ROW edge budget for the CV
         full-neighborhood term: each output row reads a contiguous
         ``edge_cap_per_row``-wide window of its CSR range (ONE gather
-        issue per row instead of one per edge slot).  Rows with degree
+        issue per block instead of one per edge slot).  Rows with degree
         above the budget lose their trailing CSR edges — the gather-time
         analogue of the reference's --max_degree load-time subsampling
         (gcn/utils.py:261-263, but without renormalization); size it via
         ``--fadj_edge_mult`` or cap degrees properly with --pad_degree.
     """
-    indptr: jax.Array
+    bstart: jax.Array
     idx: jax.Array
     w: jax.Array
     deg: jax.Array
     max_degree: int = dataclasses.field(metadata=dict(static=True))
     edge_cap_per_row: int = dataclasses.field(metadata=dict(static=True))
 
+    BLOCK = 8          # f32/int32 sublane width: minimal pad, whole-block
+                       # gathers already ride the row-issue path
+
     @property
     def num_nodes(self) -> int:
-        return self.indptr.shape[0] - 2
+        return self.bstart.shape[0] - 2
 
     @property
     def pad_degree(self) -> int:
@@ -198,37 +208,54 @@ def flat_csr(adj: sp.csr_matrix, edge_mult: float = 4.0) -> FlatGraph:
             "raise --fadj_edge_mult or cap degrees with --pad_degree for "
             "exact full neighborhoods.", stacklevel=2)
 
-    indptr = np.zeros(n + 2, np.int32)
-    indptr[:n + 1] = adj.indptr
-    indptr[n + 1] = adj.indptr[-1]          # sentinel row N: empty
+    B = FlatGraph.BLOCK
+    # block-aligned layout: row i owns blocks [bstart[i], bstart[i+1]);
+    # sentinel row N starts at the tail, which is padded so a
+    # ceil(max_degree/B)-block window from ANY row start stays in bounds
+    nb_row = -(-deg // B)                       # ceil(deg / B), 0 for deg 0
+    bstart = np.zeros(n + 2, np.int32)
+    bstart[1:n + 1] = np.cumsum(nb_row, dtype=np.int64)
+    bstart[n + 1] = bstart[n]                   # sentinel row N: empty
+    total_blocks = int(bstart[n]) + max(-(-max_deg // B), 1)
     deg_out = np.zeros(n + 1, np.int32)
     deg_out[:n] = deg
-    # tail padding so [start, start + max_degree) windows stay in bounds
-    idx = np.concatenate([adj.indices.astype(np.int32),
-                          np.full(max_deg, n, np.int32)])
-    w = np.concatenate([adj.data.astype(np.float32),
-                        np.zeros(max_deg, np.float32)])
-    return FlatGraph(indptr=jnp.asarray(indptr),
-                     idx=jnp.asarray(idx),
-                     w=jnp.asarray(w),
+    idx = np.full(total_blocks * B, n, np.int32)
+    w = np.zeros(total_blocks * B, np.float32)
+    # scatter each row's CSR entries to its aligned start
+    dst = (np.repeat(bstart[:n].astype(np.int64) * B, deg)
+           + np.arange(len(adj.indices), dtype=np.int64)
+           - np.repeat(adj.indptr[:n].astype(np.int64), deg))
+    idx[dst] = adj.indices.astype(np.int32)
+    w[dst] = adj.data.astype(np.float32)
+    return FlatGraph(bstart=jnp.asarray(bstart),
+                     idx=jnp.asarray(idx.reshape(-1, B)),
+                     w=jnp.asarray(w.reshape(-1, B)),
                      deg=jnp.asarray(deg_out),
                      max_degree=max_deg, edge_cap_per_row=cap_row)
 
 
 def flat_row_windows(graph: "FlatGraph", field: jax.Array, width: int):
-    """[F, width] neighbor/weight windows from a FlatGraph, ONE slice-gather
-    issue per row (``vmap(dynamic_slice)`` lowers to a gather of contiguous
-    slices) — row gathers are issue-rate bound on TPU, so per-edge element
-    gathers would cost ``width`` times more.  Rows longer than ``width``
+    """[F, width] neighbor/weight windows from a FlatGraph.
+
+    Rows are block-aligned (see :class:`FlatGraph`), so a window is
+    ``ceil(width / BLOCK)`` whole-block row gathers from the ``[NB, B]``
+    tables plus a STATIC ``[:, :width]`` slice — block-row gather issues
+    instead of per-element ones (``vmap(dynamic_slice)`` on a 1-D array
+    lowers to one gather issue per ELEMENT: measured 1.3-1.4 ms for
+    1024 x 293/52 windows vs 0.02-0.3 ms for the block path; PERF.md
+    round 3).  A window may read past its row's blocks into the next
+    row's — those slots are masked by ``deg`` below, and the global tail
+    padding keeps the LAST rows in bounds.  Rows longer than ``width``
     are truncated to their first ``width`` CSR entries; shorter rows are
-    masked to sentinel/0 (tail padding in idx/w keeps windows in bounds)."""
+    masked to sentinel/0."""
     n = graph.num_nodes
-    start = jnp.take(graph.indptr, field, axis=0)           # [F]
+    B = graph.idx.shape[1]
+    nb = -(-width // B)
+    b0 = jnp.take(graph.bstart, field, axis=0)              # [F]
     deg = jnp.take(graph.deg, field, axis=0)
-    nbr = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(graph.idx, (s,), (width,)))(start)
-    w = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(graph.w, (s,), (width,)))(start)
+    bids = b0[:, None] + jnp.arange(nb, dtype=b0.dtype)[None, :]
+    nbr = jnp.take(graph.idx, bids, axis=0).reshape(-1, nb * B)[:, :width]
+    w = jnp.take(graph.w, bids, axis=0).reshape(-1, nb * B)[:, :width]
     valid = jnp.arange(width, dtype=jnp.int32)[None, :] < deg[:, None]
     rows_nbr = jnp.where(valid, nbr, n)
     rows_w = jnp.where(valid, w, 0.0)

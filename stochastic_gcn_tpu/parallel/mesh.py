@@ -111,10 +111,13 @@ def data_shardings(mesh: Mesh, data, shard_graph: bool):
     the mesh is sharded along the node dimension — [N, Dcap] graph rows,
     [N, d] features (dense or PaddedSparseFeatures idx/val), [N, C] labels
     — so per-chip HBM scales as N/P for every O(N) table; row accesses are
-    owner-routed (parallel/halo.py).  Small [N] vectors (degrees, CSR
-    indptr) and edgelist-format edge arrays are 1-D and stay replicated by
+    owner-routed (parallel/halo.py).  Small [N] vectors (degrees, block
+    starts) and :class:`FlatGraph` block tables (whose [NB, B] rows index
+    BLOCKS, not nodes — they are O(E)-compact already) stay replicated by
     design."""
     import jax.tree_util as jtu
+
+    from ..data.graph import FlatGraph
 
     repl = replicated(mesh)
     if not shard_graph:
@@ -125,7 +128,13 @@ def data_shardings(mesh: Mesh, data, shard_graph: bool):
     def rule(x):
         return rs if (getattr(x, "ndim", 0) >= 2
                       and x.shape[0] % p == 0) else repl
-    return jtu.tree_map(rule, data)
+
+    def outer(x):
+        if isinstance(x, FlatGraph):
+            return jtu.tree_map(lambda _: repl, x)
+        return rule(x)
+    return jtu.tree_map(outer, data,
+                        is_leaf=lambda x: isinstance(x, FlatGraph))
 
 
 def param_sharding_rule(mesh: Mesh):
