@@ -254,14 +254,36 @@ def _slice_inputs(features, field0: jax.Array, mesh=None):
     return row_gather(features, field0, mesh)
 
 
+def _tap(taps, label, h):
+    """Per-layer activation moments (the reference's Layer._log_vars /
+    Model.activations debugging surface, gcn/layers.py:111-137 +
+    models.py:148-157 — histogram summaries there, (mean, std, absmax)
+    here).  ``taps`` is a list the caller owns; None disables at trace
+    time (zero cost on production paths)."""
+    if taps is None:
+        return
+    import jax.numpy as _jnp
+    # NOTE: hasattr(h, "val") is truthy on jit tracers — type-check instead
+    x = h.val if isinstance(h, PaddedSparseFeatures) else h
+    if isinstance(x, tuple):         # CVD (mu, var) pair: tap the mean
+        x = x[0]
+    x = x.astype(_jnp.float32)
+    taps.append((label, _jnp.mean(x), _jnp.std(x),
+                 _jnp.max(_jnp.abs(x))))
+
+
 def forward(params: dict, spec: ModelSpec, pack: BatchFields,
             graph: Optional[PaddedGraph], histories, features,
-            key: jax.Array, keep_prob: float, train: bool, mesh=None):
+            key: jax.Array, keep_prob: float, train: bool, mesh=None,
+            taps=None):
     """Run the layer stack (gcn/models.py:147-159).
 
     Returns (logits [B, output_dim], new_histories) where new_histories[l]
     is a tuple of arrays on the rows of pack.fields[l], to be scattered into
     the history buffers at those node ids after the optimizer step.
+
+    ``taps``: optional list; when given, (label, mean, std, absmax) of
+    every layer output is appended — see :func:`_tap`.
     """
     kp = keep_prob if train else 1.0
     h = _slice_inputs(features, pack.fields[0], mesh)
@@ -282,8 +304,9 @@ def forward(params: dict, spec: ModelSpec, pack: BatchFields,
         dense = dense.at[rows, safe].add(h.val)
         h = dense
 
+    _tap(taps, "input", h)
     new_histories = [None] * spec.num_agg_layers
-    for s in spec.specs:
+    for i, s in enumerate(spec.specs):
         if isinstance(s, DropoutSpec):
             key, sub = jax.random.split(key)
             h = L.dropout_layer(sub, h, kp, spec.cvd)
@@ -308,6 +331,7 @@ def forward(params: dict, spec: ModelSpec, pack: BatchFields,
             else:
                 h = agg.plain_aggregate(h, ls, spec.normalization,
                                         mesh=mesh)
+        _tap(taps, f"{i}:{type(s).__name__}", h)
     return h, tuple(new_histories)
 
 

@@ -470,6 +470,37 @@ class Trainer:
         return out
 
     # ------------------------------------------------------------------
+    def activation_stats(self, data_ids=None, train: bool = True):
+        """Per-layer activation (mean, std, absmax) on one batch — the
+        moment-propagation debugging surface (reference
+        gcn/layers.py:111-137 TF histogram summaries + models.py:148-157
+        ``self.activations``; its Analyze2 consumer is dead code there,
+        so this ships as a standalone probe).  ``train`` selects the
+        training model/histories (with dropout) vs the eval model.
+        Returns ``{layer_label: {"mean", "std", "absmax"}}`` floats."""
+        cfg = self.cfg
+        n = self.ds.num_data
+        if data_ids is None:
+            data_ids = self.ds.train_d[:cfg.batch_size] if train \
+                else self.ds.val_d[:cfg.test_batch_size]
+        bsz = cfg.batch_size if train else cfg.test_batch_size
+        batch = jnp.asarray(MinibatchIterator.pad_batch(
+            self._to_internal(np.asarray(data_ids)[:bsz]), bsz, n))
+        if train:
+            fn = S.make_activation_taps(cfg, self.train_spec,
+                                        self.train_degrees, n, True)
+            out = fn(self.state.params, self.state.histories,
+                     self.graph_train, self.train_features, self.labels,
+                     self.importance_train, batch, self._next_key())
+        else:
+            fn = S.make_activation_taps(cfg, self.test_spec,
+                                        self.test_degrees, n, False)
+            out = fn(self._eval_params(), self.eval_histories,
+                     self.graph_full, self.test_features, self.labels,
+                     self.importance_test, batch, self._next_key())
+        return {k: {"mean": float(m), "std": float(s), "absmax": float(a)}
+                for k, (m, s, a) in out.items()}
+
     def gradient_variance(self, times: int = 1000, log=print):
         """GradientVariance (train.py:241-277): bias/stdev of predictions and
         first-layer gradients, exact-vs-sampled, over repeated resamples."""

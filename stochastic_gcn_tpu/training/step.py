@@ -561,6 +561,35 @@ def make_eval_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
     return jax.jit(_eval, donate_argnums=(1,))
 
 
+def make_activation_taps(cfg: Config, spec: M.ModelSpec,
+                         degrees: Tuple[int, ...], num_nodes: int,
+                         train_mode: bool):
+    """Per-layer activation moments for ONE batch — the reference's layer
+    activation-logging surface (gcn/layers.py:111-137 histogram summaries,
+    models.py:148-157 self.activations), exposed as a standalone debug
+    probe instead of TF summaries.  Returns jitted ``(...) ->
+    {label: (mean, std, absmax)}`` over the same inputs as an eval step."""
+    use_importance = cfg.importance if train_mode else cfg.test_importance
+
+    def _run(params, histories, graph, features, labels, importance,
+             batch_ids, key):
+        k_sched, k_drop = jax.random.split(key)
+        pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
+                        need_aw=spec.det_dropout,
+                        importance=importance if use_importance else None,
+                        round_multiple=cfg.dp,
+                        is_approx_topk=cfg.is_approx_topk,
+                        is_recall_target=cfg.is_recall_target,
+                        dedup=cfg.field_dedup,
+                        is_slot_cap=cfg.is_slot_cap)
+        taps = []
+        M.forward(params, spec, pack, graph, histories, features, k_drop,
+                  cfg.keep_prob, train=train_mode, taps=taps)
+        return {label: stats for label, *stats in taps}
+
+    return jax.jit(_run)
+
+
 def make_pred_and_grad(cfg: Config, spec: M.ModelSpec,
                        degrees: Tuple[int, ...], num_nodes: int,
                        train_mode: bool):

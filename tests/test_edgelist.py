@@ -155,3 +155,62 @@ def test_use_pallas_rejects_dp(ds):
     with pytest.raises(ValueError):
         Trainer(Config(dataset="synthetic", cv=True, use_pallas=True, dp=2),
                 ds)
+
+
+def test_flat_csr_block_alignment_invariants():
+    """Block-aligned layout: every row starts on a BLOCK boundary, gaps and
+    tail hold sentinel/0, windows recover exact rows incl. hub truncation
+    and zero-degree rows."""
+    rng = np.random.default_rng(7)
+    n = 37
+    # adversarial degree sequence: zeros, a hub, odd sizes around BLOCK
+    deg = rng.integers(0, 13, size=n)
+    deg[5] = 0
+    deg[11] = 29          # hub > any window width we'll use below
+    rows, cols, vals = [], [], []
+    for i in range(n):
+        nbrs = rng.choice(n, size=deg[i], replace=False)
+        rows += [i] * deg[i]
+        cols += list(nbrs)
+        vals += list(rng.uniform(0.5, 1.5, deg[i]))
+    import scipy.sparse as sp
+    adj = sp.csr_matrix((vals, (rows, cols)), shape=(n, n))
+    fg = G.flat_csr(adj, edge_mult=1e9)
+    B = G.FlatGraph.BLOCK
+
+    bstart = np.asarray(fg.bstart)
+    idx = np.asarray(fg.idx)
+    w = np.asarray(fg.w)
+    assert idx.shape[1] == B and w.shape[1] == B
+    d = np.diff(adj.indptr)
+    # row block ranges are exactly ceil(deg/B) and contiguous
+    np.testing.assert_array_equal(np.diff(bstart[:n + 1]), -(-d // B))
+    assert bstart[n + 1] == bstart[n]
+    flat_i, flat_w = idx.reshape(-1), w.reshape(-1)
+    for i in range(n):
+        s = bstart[i] * B
+        np.testing.assert_array_equal(flat_i[s:s + d[i]],
+                                      adj.indices[adj.indptr[i]:
+                                                  adj.indptr[i + 1]])
+        np.testing.assert_allclose(flat_w[s:s + d[i]],
+                                   adj.data[adj.indptr[i]:
+                                            adj.indptr[i + 1]])
+        # alignment gap up to the next block boundary: sentinel / 0
+        gap = bstart[i + 1] * B
+        assert (flat_i[s + d[i]:gap] == n).all()
+        assert (flat_w[s + d[i]:gap] == 0).all()
+    # tail blocks past the last row: all sentinel
+    assert (flat_i[bstart[n] * B:] == n).all()
+
+    # window materialization: exact rows, sentinel-masked, hub truncated
+    field = jnp.asarray(np.r_[np.arange(n), [n]].astype(np.int32))
+    for width in (1, 7, 8, 9, 16):
+        fn, fw, fd = G.flat_row_windows(fg, field, width)
+        fn, fw = np.asarray(fn), np.asarray(fw)
+        assert fn.shape == (n + 1, width)
+        for i in range(n):
+            k = min(d[i], width)      # hub rows truncate to first `width`
+            np.testing.assert_array_equal(
+                fn[i, :k], adj.indices[adj.indptr[i]:adj.indptr[i] + k])
+            assert (fn[i, k:] == n).all() and (fw[i, k:] == 0).all()
+        assert (fn[n] == n).all()     # sentinel row: empty

@@ -148,3 +148,31 @@ def test_checkpoint_is_pickle_free(tmp_path, ds):
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
     tr2.train_epoch()
+
+
+def test_activation_stats_taps():
+    """Per-layer activation taps (reference layers.py:111-137 role): one
+    label per layer plus the input, finite moments, dropout visible only
+    on the train-side model."""
+    from stochastic_gcn_tpu.config import Config
+    from stochastic_gcn_tpu.data.loaders import synthetic_dataset
+    from stochastic_gcn_tpu.training.loop import Trainer
+
+    ds = synthetic_dataset(num_nodes=80, feature_dim=16, num_classes=4,
+                           avg_degree=5, seed=0)
+    cfg = Config(dataset="synthetic", batch_size=32, test_batch_size=32,
+                 hidden1=16, dropout=0.3, seed=3, degree=1, test_degree=1,
+                 cv=True, test_cv=True)
+    tr = Trainer(cfg, ds)
+    tr.train_epoch()
+    for train in (True, False):
+        stats = tr.activation_stats(train=train)
+        spec = tr.train_spec if train else tr.test_spec
+        assert len(stats) == len(spec.specs) + 1       # + "input"
+        assert "input" in stats
+        import numpy as np
+        for v in stats.values():
+            assert np.isfinite([v["mean"], v["std"], v["absmax"]]).all()
+        # the last (logits) layer must have nonzero spread
+        last = list(stats.values())[-1]
+        assert last["std"] > 0
