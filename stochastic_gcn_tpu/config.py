@@ -193,8 +193,9 @@ class Config:
     # graph rows, node features and labels along the node dimension too —
     # per-chip HBM then scales as N/P for EVERY O(N) table, with row
     # accesses routed from owner chips (parallel/halo.py).  Small [N]
-    # vectors (degrees, CSR indptr, importance) stay replicated by design;
-    # edgelist-format graphs stay replicated (already O(E)-compact).
+    # vectors (degrees, block starts, importance) stay replicated by
+    # design; edgelist-format block tables node-shard too (per-chip HBM
+    # ~O(E/P), window block reads owner-routed).
     shard_graph: bool = True
     # Per-destination capacity multiplier for the owner-routed history
     # scatter: capacity = max(8, ceil(scatter_cap_mult * C/P / P)) rows per

@@ -150,6 +150,13 @@ class FlatGraph:
         analogue of the reference's --max_degree load-time subsampling
         (gcn/utils.py:261-263, but without renormalization); size it via
         ``--fadj_edge_mult`` or cap degrees properly with --pad_degree.
+      parts: static — node-sharding partitions the block tables were BUILT
+        for: chip ``p`` owns the blocks of nodes ``[p*ceil(N/parts), ...)``,
+        every chip is padded to the same block count (so ``idx``/``w``
+        row-shard into ``parts`` equal tiles, block owner =
+        ``bid // (NB/parts)``), and each chip carries its own
+        ceil(max_degree/B)-block sentinel tail so row windows never cross
+        into the next chip's tile.  ``parts=1`` is the replicated layout.
     """
     bstart: jax.Array
     idx: jax.Array
@@ -157,6 +164,7 @@ class FlatGraph:
     deg: jax.Array
     max_degree: int = dataclasses.field(metadata=dict(static=True))
     edge_cap_per_row: int = dataclasses.field(metadata=dict(static=True))
+    parts: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     BLOCK = 8          # f32/int32 sublane width: minimal pad, whole-block
                        # gathers already ride the row-issue path
@@ -175,13 +183,20 @@ class FlatGraph:
         return jnp.sum(self.deg)
 
 
-def flat_csr(adj: sp.csr_matrix, edge_mult: float = 4.0) -> FlatGraph:
+def flat_csr(adj: sp.csr_matrix, edge_mult: float = 4.0,
+             parts: int = 1) -> FlatGraph:
     """Convert a scipy CSR adjacency to a FlatGraph.
 
     ``edge_mult`` sets ``edge_cap_per_row = ceil(edge_mult * mean_degree)``
     (at least 1, at most the max degree); pass a large value (or apply
     degree caps first) if exact full neighborhoods are required for every
     possible batch.
+
+    ``parts > 1`` lays the block tables out for node-sharding over that
+    many chips (see :class:`FlatGraph.parts`): per-chip HBM becomes
+    ~O(E/parts), window block reads are owner-routed through the halo
+    fetch transport (parallel/halo.py) when a mesh is passed to
+    :func:`flat_row_windows`.
     """
     adj = adj.tocsr()
     n = adj.shape[0]
@@ -209,32 +224,46 @@ def flat_csr(adj: sp.csr_matrix, edge_mult: float = 4.0) -> FlatGraph:
             "exact full neighborhoods.", stacklevel=2)
 
     B = FlatGraph.BLOCK
-    # block-aligned layout: row i owns blocks [bstart[i], bstart[i+1]);
-    # sentinel row N starts at the tail, which is padded so a
-    # ceil(max_degree/B)-block window from ANY row start stays in bounds
+    # block-aligned layout: row i owns blocks [bstart[i], bstart[i+1]).
+    # Each partition carries a ceil(max_degree/B)-block sentinel tail so a
+    # window from ANY of its rows (incl. the global sentinel row N, placed
+    # at the last partition's used end) stays inside the partition's tile;
+    # with parts=1 this is just the global tail pad.
     nb_row = -(-deg // B)                       # ceil(deg / B), 0 for deg 0
-    bstart = np.zeros(n + 2, np.int32)
-    bstart[1:n + 1] = np.cumsum(nb_row, dtype=np.int64)
+    wpad = max(-(-max_deg // B), 1)
+    cum = np.zeros(n + 1, np.int64)
+    cum[1:] = np.cumsum(nb_row, dtype=np.int64)
+    nl = -(-n // parts)                         # nodes per partition
+    owner = np.arange(n, dtype=np.int64) // nl
+    part_lo = np.minimum(np.arange(parts, dtype=np.int64) * nl, n)
+    part_hi = np.minimum(part_lo + nl, n)
+    used = cum[part_hi] - cum[part_lo]          # blocks used per partition
+    nb_chip = int(used.max()) + wpad if n else wpad
+    bstart = np.zeros(n + 2, np.int64)
+    bstart[:n] = owner * nb_chip + (cum[:n] - cum[part_lo[owner]])
+    bstart[n] = (parts - 1) * nb_chip + int(used[-1]) if n else 0
     bstart[n + 1] = bstart[n]                   # sentinel row N: empty
-    total_blocks = int(bstart[n]) + max(-(-max_deg // B), 1)
+    total_blocks = parts * nb_chip
     deg_out = np.zeros(n + 1, np.int32)
     deg_out[:n] = deg
     idx = np.full(total_blocks * B, n, np.int32)
     w = np.zeros(total_blocks * B, np.float32)
     # scatter each row's CSR entries to its aligned start
-    dst = (np.repeat(bstart[:n].astype(np.int64) * B, deg)
+    dst = (np.repeat(bstart[:n] * B, deg)
            + np.arange(len(adj.indices), dtype=np.int64)
            - np.repeat(adj.indptr[:n].astype(np.int64), deg))
     idx[dst] = adj.indices.astype(np.int32)
     w[dst] = adj.data.astype(np.float32)
-    return FlatGraph(bstart=jnp.asarray(bstart),
+    return FlatGraph(bstart=jnp.asarray(bstart.astype(np.int32)),
                      idx=jnp.asarray(idx.reshape(-1, B)),
                      w=jnp.asarray(w.reshape(-1, B)),
                      deg=jnp.asarray(deg_out),
-                     max_degree=max_deg, edge_cap_per_row=cap_row)
+                     max_degree=max_deg, edge_cap_per_row=cap_row,
+                     parts=parts)
 
 
-def flat_row_windows(graph: "FlatGraph", field: jax.Array, width: int):
+def flat_row_windows(graph: "FlatGraph", field: jax.Array, width: int,
+                     mesh=None):
     """[F, width] neighbor/weight windows from a FlatGraph.
 
     Rows are block-aligned (see :class:`FlatGraph`), so a window is
@@ -244,18 +273,30 @@ def flat_row_windows(graph: "FlatGraph", field: jax.Array, width: int):
     lowers to one gather issue per ELEMENT: measured 1.3-1.4 ms for
     1024 x 293/52 windows vs 0.02-0.3 ms for the block path; PERF.md
     round 3).  A window may read past its row's blocks into the next
-    row's — those slots are masked by ``deg`` below, and the global tail
-    padding keeps the LAST rows in bounds.  Rows longer than ``width``
-    are truncated to their first ``width`` CSR entries; shorter rows are
-    masked to sentinel/0."""
+    row's — those slots are masked by ``deg`` below, and per-partition
+    tail padding keeps every window inside its owner's tile.  Rows longer
+    than ``width`` are truncated to their first ``width`` CSR entries;
+    shorter rows are masked to sentinel/0.
+
+    With a mesh and a ``parts``-sharded graph the block reads are
+    owner-routed: the [F*nb] block ids ride the same fetch-routed halo
+    transport as node-row gathers (block owner = block // (NB/parts)),
+    one fused idx+w exchange."""
     n = graph.num_nodes
     B = graph.idx.shape[1]
     nb = -(-width // B)
     b0 = jnp.take(graph.bstart, field, axis=0)              # [F]
     deg = jnp.take(graph.deg, field, axis=0)
-    bids = b0[:, None] + jnp.arange(nb, dtype=b0.dtype)[None, :]
-    nbr = jnp.take(graph.idx, bids, axis=0).reshape(-1, nb * B)[:, :width]
-    w = jnp.take(graph.w, bids, axis=0).reshape(-1, nb * B)[:, :width]
+    bids = (b0[:, None]
+            + jnp.arange(nb, dtype=b0.dtype)[None, :]).reshape(-1)
+    from ..parallel.halo import halo_tiles, row_gather2
+    if graph.parts > 1 and halo_tiles(graph.idx, bids, mesh):
+        blk_i, blk_w = row_gather2(graph.idx, graph.w, bids, mesh)
+    else:
+        blk_i = jnp.take(graph.idx, bids, axis=0)
+        blk_w = jnp.take(graph.w, bids, axis=0)
+    nbr = blk_i.reshape(-1, nb * B)[:, :width]
+    w = blk_w.reshape(-1, nb * B)[:, :width]
     valid = jnp.arange(width, dtype=jnp.int32)[None, :] < deg[:, None]
     rows_nbr = jnp.where(valid, nbr, n)
     rows_w = jnp.where(valid, w, 0.0)
@@ -271,9 +312,10 @@ def graph_rows(graph, field: jax.Array, mesh=None):
     distributed over chips, parallel/halo.py), the nbr+w rows are fetched
     from their owner chips in one fused exchange; ``deg`` is a small [N]
     int vector kept replicated by design, so its gather stays local.
-    :class:`FlatGraph` is always replicated (its storage is already O(E))."""
+    A :class:`FlatGraph` routes its window BLOCK reads the same way when
+    built with ``parts > 1`` (otherwise it is replicated)."""
     if isinstance(graph, FlatGraph):
-        return flat_row_windows(graph, field, graph.pad_degree)
+        return flat_row_windows(graph, field, graph.pad_degree, mesh)
     from ..parallel.halo import halo_tiles, row_gather2
     if halo_tiles(graph.nbr, field, mesh):
         rows_nbr, rows_w = row_gather2(graph.nbr, graph.w, field, mesh)

@@ -121,7 +121,7 @@ def full_neighborhood_mean_edgelist(hist: jax.Array, graph: FlatGraph,
     """
     from ..data.graph import flat_row_windows
     width = min(graph.edge_cap_per_row, graph.max_degree)
-    fnbr, fw, _ = flat_row_windows(graph, field_out, width)
+    fnbr, fw, _ = flat_row_windows(graph, field_out, width, mesh)
     if square:
         fw = jnp.square(fw)
     if _halo_tiles(hist, field_out, mesh):

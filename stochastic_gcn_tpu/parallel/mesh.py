@@ -112,9 +112,11 @@ def data_shardings(mesh: Mesh, data, shard_graph: bool):
     [N, d] features (dense or PaddedSparseFeatures idx/val), [N, C] labels
     — so per-chip HBM scales as N/P for every O(N) table; row accesses are
     owner-routed (parallel/halo.py).  Small [N] vectors (degrees, block
-    starts) and :class:`FlatGraph` block tables (whose [NB, B] rows index
-    BLOCKS, not nodes — they are O(E)-compact already) stay replicated by
-    design."""
+    starts) stay replicated by design.  :class:`FlatGraph` block tables
+    shard into their per-chip tiles when built with ``parts == P``
+    (flat_csr(..., parts)); otherwise they replicate — their [NB, B] rows
+    index BLOCKS, not nodes, so the generic node-row rule must not touch
+    them."""
     import jax.tree_util as jtu
 
     from ..data.graph import FlatGraph
@@ -131,6 +133,12 @@ def data_shardings(mesh: Mesh, data, shard_graph: bool):
 
     def outer(x):
         if isinstance(x, FlatGraph):
+            if x.parts == p:
+                # block tables built for this partition count: shard them
+                # into their per-chip tiles; bstart/deg stay replicated
+                return jtu.tree_map(
+                    lambda l: rs if (l.ndim >= 2 and l.shape[0] % p == 0)
+                    else repl, x)
             return jtu.tree_map(lambda _: repl, x)
         return rule(x)
     return jtu.tree_map(outer, data,

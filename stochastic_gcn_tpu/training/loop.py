@@ -110,8 +110,14 @@ class Trainer:
             if cfg.use_pallas:
                 raise ValueError("--use_pallas requires the padded graph "
                                  "format")
-            self.graph_train = flat_csr(train_adj, cfg.fadj_edge_mult)
-            self.graph_full = flat_csr(full_adj, cfg.fadj_edge_mult)
+            # node-shard the block tables over the data axis when a mesh
+            # will be built (per-chip graph HBM ~O(E/P), window block
+            # reads owner-routed — parallel/halo.py)
+            parts = cfg.dp if (cfg.dp > 1 and cfg.shard_graph) else 1
+            self.graph_train = flat_csr(train_adj, cfg.fadj_edge_mult,
+                                        parts=parts)
+            self.graph_full = flat_csr(full_adj, cfg.fadj_edge_mult,
+                                       parts=parts)
         else:
             # pad each graph to its own true (post-cap) max degree: the
             # full-neighborhood gather is row-issue-rate bound, so tighter

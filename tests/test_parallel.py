@@ -572,3 +572,47 @@ def test_tensor_parallel_matches_dp_only(setup):
     v_tp = t_tp.evaluate(ds.val_d)
     assert v_tp[0] == pytest.approx(v_dp[0], rel=2e-3)
     assert v_tp[1] == pytest.approx(v_dp[1], abs=0.05)
+
+
+def test_trainer_dp_edgelist_sharded_matches_padded(setup):
+    """Node-sharded FlatGraph (block tables built with parts=P, window
+    block reads owner-routed): per-chip tiles are NB/P rows, and the dp=8
+    edgelist trajectory matches the dp=8 PADDED run (the single-device
+    edgelist == padded identity is tests/test_edgelist.py; dp-vs-single
+    differences are a dp-level property shared by both layouts)."""
+    cfg, ds = setup
+    n_dev = len(jax.devices())
+    base = cfg.replace(batch_size=32, test_batch_size=64, dp=n_dev)
+    tr_p = Trainer(base, ds)
+    tr_e = Trainer(base.replace(graph_format="edgelist",
+                                fadj_edge_mult=1e9), ds)
+    assert tr_e.graph_train.parts == n_dev
+    for tab in (tr_e.graph_train.idx, tr_e.graph_train.w,
+                tr_e.graph_full.idx):
+        rows = [s.data.shape[0] for s in tab.addressable_shards]
+        assert max(rows) == tab.shape[0] // n_dev, "block table not sharded"
+    for _ in range(2):
+        lp, ap, *_ = tr_p.train_epoch()
+        le, ae, *_ = tr_e.train_epoch()
+    np.testing.assert_allclose(lp, le, rtol=1e-5)
+    ev_p = tr_p.evaluate(ds.val_d)
+    ev_e = tr_e.evaluate(ds.val_d)
+    np.testing.assert_allclose(ev_p[0], ev_e[0], rtol=1e-4)
+    np.testing.assert_allclose(ev_p[2], ev_e[2], rtol=1e-4)
+
+
+def test_flat_csr_parts_layout_equivalence():
+    """parts>1 re-lays blocks out per chip but windows recover identical
+    rows to the parts=1 build."""
+    from stochastic_gcn_tpu.data import graph as G
+    ds = synthetic_dataset(num_nodes=70, feature_dim=8, num_classes=3,
+                           avg_degree=5, seed=2)
+    f1 = G.flat_csr(ds.full_adj, edge_mult=1e9)
+    f8 = G.flat_csr(ds.full_adj, edge_mult=1e9, parts=8)
+    assert np.asarray(f8.idx).shape[0] % 8 == 0
+    field = jnp.asarray(np.r_[np.arange(70), [70, 70]].astype(np.int32))
+    for width in (3, 8, 11):
+        a = G.flat_row_windows(f1, field, width)
+        b = G.flat_row_windows(f8, field, width)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
