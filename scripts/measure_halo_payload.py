@@ -56,14 +56,17 @@ from stochastic_gcn_tpu.training.loop import Trainer  # noqa: E402
 
 def lower_step(n_nodes: int, batch: int, n_dev: int, shard_graph: bool,
                halo: bool, fetch: bool = True, owner: bool = False,
-               tp: int = 1):
+               tp: int = 1, graph_format: str = "padded"):
     from stochastic_gcn_tpu.parallel import halo as H
     H.FETCH_GATHER = fetch
-    return _lower_step(n_nodes, batch, n_dev, shard_graph, halo, owner, tp)
+    return _lower_step(n_nodes, batch, n_dev, shard_graph, halo, owner, tp,
+                       graph_format)
 
 
 def _lower_step(n_nodes: int, batch: int, n_dev: int, shard_graph: bool,
-                halo: bool, owner: bool = False, tp: int = 1):
+                halo: bool, owner: bool = False, tp: int = 1,
+                graph_format: str = "padded"):
+    from stochastic_gcn_tpu.data.graph import FlatGraph
     ds = synthetic_dataset(num_nodes=n_nodes, feature_dim=64, num_classes=8,
                            avg_degree=8, seed=0, normalization="graphsage")
     dp = n_dev // tp
@@ -71,13 +74,20 @@ def _lower_step(n_nodes: int, batch: int, n_dev: int, shard_graph: bool,
                  test_degree=1, cv=True, test_cv=True, hidden1=64,
                  normalization="graphsage", layer_norm=True, dropout=0.2,
                  weight_decay=0.0, seed=1, halo_exchange=halo,
-                 owner_batching=owner, tp=tp,
-                 dp=dp if (owner or tp > 1) else 0)
+                 owner_batching=owner, tp=tp, graph_format=graph_format,
+                 fadj_edge_mult=8.0,
+                 dp=dp if (owner or tp > 1 or graph_format == "edgelist")
+                 else 0)
     tr = Trainer(cfg, ds)
     n_dev = dp
     mesh = make_mesh(dp, tp=tp)
-    if shard_graph:
+    if shard_graph and not isinstance(tr.graph_train, FlatGraph):
         data = (pad_graph_rows(tr.graph_train, n_dev),
+                pad_features_rows(tr.train_features, n_dev),
+                pad_table_rows(tr.labels, n_dev))
+    elif shard_graph:
+        # the Trainer built flat_csr(parts=dp) already (cfg.dp set above)
+        data = (tr.graph_train,
                 pad_features_rows(tr.train_features, n_dev),
                 pad_table_rows(tr.labels, n_dev))
     else:

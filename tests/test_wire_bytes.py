@@ -34,6 +34,26 @@ def _lower(owner: bool):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_edgelist_wire_bytes_budget():
+    """The node-sharded FlatGraph step (owner-routed window BLOCK reads)
+    must stay at the padded step's budget — measured 0.341 vs 0.338
+    MB/chip/step (the [*, 8] block transport adds ~2 KB)."""
+    spec = importlib.util.spec_from_file_location("measure_halo_payload",
+                                                  _SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    hlo = mod.lower_step(4096, 256, 8, shard_graph=True, halo=True,
+                         fetch=True, owner=False, graph_format="edgelist")
+    per = collective_bytes(hlo, 8)
+    total_mb = sum(per.values()) / 1e6
+    detail = {k: round(v / 1e6, 3) for k, v in sorted(per.items())}
+    assert per.get("all-to-all", 0) > 0, detail
+    assert total_mb <= BUDGET_MB, (
+        f"sharded edgelist step lowered to {total_mb:.3f} MB/chip/step "
+        f"(budget {BUDGET_MB}); by kind: {detail}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 @pytest.mark.parametrize("owner,budget_mb", [(False, BUDGET_MB),
                                              (True, BUDGET_OWNER_MB)])
 def test_sharded_step_wire_bytes_budget(owner, budget_mb):
