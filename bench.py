@@ -210,6 +210,9 @@ def run_estimator_ab(target_f1=AB_TARGET_F1, log=print):
         out[f"ab_{name}_plateau_micro_f1"] = round(
             float(np.mean(traj[-5:])), 4)
         out[f"ab_{name}_epoch_train_s"] = round(train_s / max_epochs, 3)
+        # full per-epoch curve for scripts/plot_results.py::plot_ab (the
+        # reference's plot-convergence.py draws these curves from logs)
+        out[f"ab_{name}_trajectory"] = [round(v, 4) for v in traj]
         del tr
     if out.get("ab_exact_seconds_to_target") and \
             out.get("ab_cvdpp_seconds_to_target"):

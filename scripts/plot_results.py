@@ -106,9 +106,36 @@ def plot_test(logs, out):
     print(f"wrote {out}")
 
 
+def plot_ab(ab_json, out):
+    """Estimator time-to-accuracy curves from an ESTIMATOR_AB.json /
+    BENCH_r*.json record (bench.py::run_estimator_ab ``ab_*_trajectory``
+    keys) — the role of the reference's plot-convergence.py figure."""
+    import json
+    with open(ab_json) as f:
+        d = json.load(f)
+    target = d.get("ab_target_micro_f1")
+    fig, ax = plt.subplots(figsize=(7, 4))
+    for key in sorted(d):
+        if not key.endswith("_trajectory"):
+            continue
+        name = key[len("ab_"):-len("_trajectory")]
+        traj = d[key]
+        ax.plot(range(1, len(traj) + 1), traj, label=name.upper(),
+                marker=".", markersize=3)
+    if target:
+        ax.axhline(target, color="gray", ls="--", lw=0.8,
+                   label=f"band {target}")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("val micro-F1 (exact inference)")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out, dpi=130)
+    print(f"wrote {out}")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["convergence", "var", "test"])
+    ap.add_argument("mode", choices=["convergence", "var", "test", "ab"])
     ap.add_argument("logs", nargs="+")
     ap.add_argument("--dataset", default=None)
     ap.add_argument("--x", choices=["epoch", "time", "data"],
@@ -120,6 +147,8 @@ def main():
         plot_convergence(args.logs, args.dataset, args.x, out)
     elif args.mode == "var":
         plot_var(args.logs, out)
+    elif args.mode == "ab":
+        plot_ab(args.logs[0], out)
     else:
         plot_test(args.logs, out)
 
