@@ -402,7 +402,8 @@ def main():
             amt_big += int(m2["amt_data"])
         dt_big = time.time() - t0
         edges_per_s_big = amt_big / dt_big
-    result = {
+    result = _RESULT
+    result |= {
         "metric": "reddit_like_cvpp_deg1_sampled_edges_per_s",
         "value": round(edges_per_s, 1),
         "unit": "edges/s",
@@ -495,5 +496,29 @@ def main():
     print(json.dumps(result))
 
 
+# Partial-result accumulator: main() fills this in place so a mid-run
+# failure (the axon tunnel can die for hours at any point — PERF.md) still
+# hands the driver every metric measured before the fault, instead of
+# nothing.
+_RESULT: dict = {}
+
+
+def _emit_partial(err: str, code: int):
+    _RESULT.setdefault("metric", "reddit_like_cvpp_deg1_sampled_edges_per_s")
+    _RESULT.setdefault("value", None)
+    _RESULT.setdefault("unit", "edges/s")
+    _RESULT.setdefault("vs_baseline", None)
+    _RESULT["error"] = err[:300]
+    print(json.dumps(_RESULT))
+    sys.exit(code)
+
+
 if __name__ == "__main__":
-    main()
+    import signal
+    signal.signal(signal.SIGTERM,
+                  lambda s, f: _emit_partial("bench SIGTERMed mid-run "
+                                             "(driver timeout?)", 4))
+    try:
+        main()
+    except Exception as e:        # noqa: BLE001 — report partials, then die
+        _emit_partial(f"bench aborted mid-run: {e!r}", 3)
