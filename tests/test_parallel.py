@@ -616,3 +616,24 @@ def test_flat_csr_parts_layout_equivalence():
         b = G.flat_row_windows(f8, field, width)
         for x, y in zip(a, b):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_trainer_dp_edgelist_importance_matches_padded(setup):
+    """IS scheduler over a parts-sharded FlatGraph (union membership +
+    inv-weight lookups against sharded block windows) matches the dp=8
+    padded IS run."""
+    cfg, ds = setup
+    n_dev = len(jax.devices())
+    base = cfg.replace(batch_size=32, test_batch_size=64, dp=n_dev,
+                       cv=False, test_cv=False, importance=True, degree=2,
+                       test_degree=2, dropout=0.0)
+    tr_p = Trainer(base, ds)
+    tr_e = Trainer(base.replace(graph_format="edgelist",
+                                fadj_edge_mult=1e9), ds)
+    assert tr_e.graph_train.parts == n_dev
+    for _ in range(2):
+        lp, *_ = tr_p.train_epoch()
+        le, *_ = tr_e.train_epoch()
+    np.testing.assert_allclose(lp, le, rtol=1e-5)
+    np.testing.assert_allclose(tr_p.evaluate(ds.val_d)[0],
+                               tr_e.evaluate(ds.val_d)[0], rtol=1e-4)
