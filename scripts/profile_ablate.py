@@ -82,11 +82,36 @@ def scan_grad(params, hist, graph, feats, labels, batches, key):
         return c + 1, sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
     return jax.lax.scan(body, 0, batches)[1].sum()
 
+def scan_grad_constpack(params, hist, graph, feats, labels, batches, key):
+    """Model-only cost: ONE schedule hoisted out of the scan, every step
+    reuses the same pack — isolates the fwd+bwd critical path so
+    (schedule-only) + (this) vs (full) reveals schedule/model overlap."""
+    pack = schedule(jax.random.fold_in(key, 0), graph, batches[0], degrees,
+                    True)
+
+    def body(c, b):
+        k2 = jax.random.fold_in(key, c)
+
+        def loss_fn(p):
+            logits, _ = M.forward(p, spec, pack, graph, hist, feats, k2,
+                                  cfg.keep_prob, True)
+            y = jnp.take(labels, pack.fields[-1], axis=0)
+            valid = (pack.fields[-1] < n).astype(jnp.float32)
+            l, _ = M.loss_and_metrics(p, spec, logits, y, valid,
+                                      cfg.weight_decay)
+            return l
+        g = jax.grad(loss_fn)(params)
+        return c + 1, sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+    return jax.lax.scan(body, 0, batches)[1].sum()
+
+
 graph, feats, labels = tr.graph_train, tr.train_features, tr.labels
 params, hist = tr.state.params, tr.state.histories
 key = jax.random.PRNGKey(0)
 
 timed("schedule", scan_schedule, graph, bm(), key, absorb=True)
+timed("constpack+fwd+grad", scan_grad_constpack, params, hist, graph,
+      feats, labels, bm(), key)
 timed("sched+fwd", scan_forward, params, hist, graph, feats, bm(), key)
 timed("sched+fwd+grad", scan_grad, params, hist, graph, feats, labels,
       bm(), key)
