@@ -145,6 +145,10 @@ def main():
     ap.add_argument("--is_slot_cap", type=int, default=0,
                     help="validate the IS slot cap (is_slot_compact) "
                          "against the ISPP acceptance band")
+    ap.add_argument("--fadj_tier", action="store_true",
+                    help="validate the two-tier full-neighborhood term "
+                         "(exact by construction; band run guards the "
+                         "integration)")
     args = ap.parse_args()
     if args.algos:
         keep = set(a.strip() for a in args.algos.split(",")) | {"Exact"}
@@ -176,6 +180,8 @@ def main():
         shard_over["field_dedup"] = False
     if args.is_slot_cap:
         shard_over["is_slot_cap"] = args.is_slot_cap
+    if args.fadj_tier:
+        shard_over["fadj_tier"] = True
     if args.dp > 1:
         shard_over.update(dp=args.dp, owner_batching=args.owner_batching,
                           partition_nodes="rcm" if args.owner_batching

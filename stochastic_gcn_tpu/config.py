@@ -244,6 +244,18 @@ class Config:
     # Edge budget multiplier for the edgelist full-neighborhood term:
     # capacity per output row = ceil(fadj_edge_mult * mean_degree).
     fadj_edge_mult: float = 4.0
+    # Two-tier CV full-neighborhood contraction on padded graphs: a narrow
+    # [F, tier_w] main gather (exact for ~all rows) + a capacity-bounded
+    # tail pass for the few rows with degree > tier_w, with an exact
+    # lax.cond fallback on overflow.  Recovers the row-issue cost of
+    # padding to the graph max degree (the CV step's dominant cost) when
+    # the mean degree is well below it.  Split chosen per graph by
+    # data.graph.choose_tier; fadj_tier_w > 0 overrides the width.
+    # Engages only at fields >= aggregators.TIER_MIN_ROWS rows — measured
+    # 1.19x at batch 4096 but a latency-bound LOSS at 512, so small
+    # fields keep the plain contraction (PERF.md round 3).
+    fadj_tier: bool = True
+    fadj_tier_w: int = 0
     # Unroll factor for the whole-epoch lax.scan (steps per scan body).
     # >1 amortizes per-iteration scan bookkeeping when the step itself is
     # dispatch-overhead-bound (small batches); costs compile time.

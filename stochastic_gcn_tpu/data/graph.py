@@ -52,6 +52,18 @@ class PaddedGraph:
     w: jax.Array
     deg: jax.Array
     n_real: int = dataclasses.field(default=-1, metadata=dict(static=True))
+    # Two-tier CV full-neighborhood term (aggregators.full_neighborhood_mean):
+    # tier_w > 0 splits the [F, Dcap] history gather into a [F, tier_w] main
+    # pass (exact for every row with degree <= tier_w) plus a
+    # capacity-bounded [big_cap, Dcap - tier_w] tail pass over the few
+    # higher-degree rows, recovering the row-issue cost of padding to the
+    # graph MAX degree when the mean is far below it.  tier_frac sizes the
+    # tail capacity as a fraction of the field; exact semantics are kept by
+    # a lax.cond fallback to the full-width tail on capacity overflow.
+    # Chosen host-side by choose_tier(); -1 disables.
+    tier_w: int = dataclasses.field(default=-1, metadata=dict(static=True))
+    tier_frac: float = dataclasses.field(default=0.0,
+                                         metadata=dict(static=True))
 
     @property
     def num_nodes(self) -> int:
@@ -66,7 +78,35 @@ class PaddedGraph:
         return jnp.sum(self.deg)
 
 
-def pad_csr(adj: sp.csr_matrix, pad_degree: int = -1) -> PaddedGraph:
+def choose_tier(deg: np.ndarray, dcap: int, safety: float = 4.0):
+    """Pick the two-tier split (tier_w, tier_frac) for a degree sequence.
+
+    Minimizes the expected full-term row-issue cost per field row,
+    ``w1 + safety * p_big(w1) * (dcap - w1)``, over w1 in multiples of 8.
+    ``p_big`` is the worse of the node-uniform and edge-biased (a sampled
+    neighbour is degree-biased) probabilities that a field row's degree
+    exceeds w1.  Returns (-1, 0.0) when the predicted saving is below 10%
+    (tiering then only adds dispatches).
+    """
+    deg = np.asarray(deg, np.int64)
+    if dcap <= 16 or deg.size == 0 or deg.sum() == 0:
+        return -1, 0.0
+    total_e = float(deg.sum())
+    best = (float(dcap), -1, 0.0)
+    for w1 in range(8, dcap, 8):
+        big = deg > w1
+        p = max(float(big.mean()), float(deg[big].sum()) / total_e)
+        cost = w1 + safety * p * (dcap - w1)
+        if cost < best[0]:
+            best = (cost, w1, p)
+    cost, w1, p = best
+    if w1 <= 0 or cost > 0.9 * dcap:
+        return -1, 0.0
+    return w1, min(1.0, safety * p)
+
+
+def pad_csr(adj: sp.csr_matrix, pad_degree: int = -1,
+            tier: bool = False, tier_w: int = 0) -> PaddedGraph:
     """Convert a scipy CSR adjacency to a PaddedGraph.
 
     ``pad_degree = -1`` pads to the true maximum degree (exact semantics).
@@ -77,14 +117,28 @@ def pad_csr(adj: sp.csr_matrix, pad_degree: int = -1) -> PaddedGraph:
     adj = adj.tocsr()
     n = adj.shape[0]
 
+    def _tier(deg_capped, dcap_):
+        if not tier:
+            return -1, 0.0
+        if tier_w > 0:       # manual override
+            deg64 = np.asarray(deg_capped, np.int64)
+            big = deg64 > tier_w
+            tot = float(deg64.sum())
+            p = max(float(big.mean()),
+                    float(deg64[big].sum()) / tot) if tot else 0.0
+            return int(tier_w), min(1.0, 4.0 * p)
+        return choose_tier(deg_capped, dcap_)
+
     # native fast path (csrc/graphlib.cpp) — vectorized numpy fallback below
     try:
         from ..sampler.host import build_padded_arrays
         out, dcap = build_padded_arrays(adj, pad_degree, cap_random=False)
         if out is not None:
             nbr, w, deg_out = out
+            tw, tf = _tier(deg_out[:n], int(nbr.shape[1]))
             return PaddedGraph(nbr=jnp.asarray(nbr), w=jnp.asarray(w),
-                               deg=jnp.asarray(deg_out))
+                               deg=jnp.asarray(deg_out),
+                               tier_w=tw, tier_frac=tf)
     except Exception:
         pass
 
@@ -107,10 +161,12 @@ def pad_csr(adj: sp.csr_matrix, pad_degree: int = -1) -> PaddedGraph:
         w[:n] = np.where(valid, adj.data[src], 0.0)
     deg_out = np.zeros(n + 1, dtype=np.int32)
     deg_out[:n] = capped
+    tw, tf = _tier(capped, dcap)
     return PaddedGraph(
         nbr=jnp.asarray(nbr),
         w=jnp.asarray(w),
         deg=jnp.asarray(deg_out),
+        tier_w=tw, tier_frac=tf,
     )
 
 
@@ -165,6 +221,11 @@ class FlatGraph:
     max_degree: int = dataclasses.field(metadata=dict(static=True))
     edge_cap_per_row: int = dataclasses.field(metadata=dict(static=True))
     parts: int = dataclasses.field(default=1, metadata=dict(static=True))
+    # Two-tier full term split (see PaddedGraph.tier_w): main windows of
+    # tier_w slots + a capacity-bounded full-budget tail for big rows.
+    tier_w: int = dataclasses.field(default=-1, metadata=dict(static=True))
+    tier_frac: float = dataclasses.field(default=0.0,
+                                         metadata=dict(static=True))
 
     BLOCK = 8          # f32/int32 sublane width: minimal pad, whole-block
                        # gathers already ride the row-issue path
@@ -184,7 +245,7 @@ class FlatGraph:
 
 
 def flat_csr(adj: sp.csr_matrix, edge_mult: float = 4.0,
-             parts: int = 1) -> FlatGraph:
+             parts: int = 1, tier: bool = False) -> FlatGraph:
     """Convert a scipy CSR adjacency to a FlatGraph.
 
     ``edge_mult`` sets ``edge_cap_per_row = ceil(edge_mult * mean_degree)``
@@ -254,17 +315,31 @@ def flat_csr(adj: sp.csr_matrix, edge_mult: float = 4.0,
            - np.repeat(adj.indptr[:n].astype(np.int64), deg))
     idx[dst] = adj.indices.astype(np.int32)
     w[dst] = adj.data.astype(np.float32)
+    tw, tf = (-1, 0.0)
+    if tier:
+        width = min(cap_row, max_deg)
+        tw, tf = choose_tier(np.minimum(deg, width), width)
+        # tier boundaries must be block-aligned (they are: choose_tier
+        # scans multiples of 8 == BLOCK) and leave a real tail window
+        if tw > 0 and (tw % B != 0 or tw > width - B):
+            tw, tf = -1, 0.0
     return FlatGraph(bstart=jnp.asarray(bstart.astype(np.int32)),
                      idx=jnp.asarray(idx.reshape(-1, B)),
                      w=jnp.asarray(w.reshape(-1, B)),
                      deg=jnp.asarray(deg_out),
                      max_degree=max_deg, edge_cap_per_row=cap_row,
-                     parts=parts)
+                     parts=parts, tier_w=tw, tier_frac=tf)
 
 
 def flat_row_windows(graph: "FlatGraph", field: jax.Array, width: int,
-                     mesh=None):
+                     mesh=None, start: int = 0):
     """[F, width] neighbor/weight windows from a FlatGraph.
+
+    ``start`` (block-aligned) offsets the window into each row's CSR range
+    — slots [start, start+width) — used by the two-tier full term's tail
+    pass; slots at or past the row's degree are masked to sentinel/0 as
+    usual (reads stay inside the partition's sentinel tail by the
+    ``start + width <= max_degree`` budget contract).
 
     Rows are block-aligned (see :class:`FlatGraph`), so a window is
     ``ceil(width / BLOCK)`` whole-block row gathers from the ``[NB, B]``
@@ -284,8 +359,9 @@ def flat_row_windows(graph: "FlatGraph", field: jax.Array, width: int,
     one fused idx+w exchange."""
     n = graph.num_nodes
     B = graph.idx.shape[1]
+    assert start % B == 0, "window start must be block-aligned"
     nb = -(-width // B)
-    b0 = jnp.take(graph.bstart, field, axis=0)              # [F]
+    b0 = jnp.take(graph.bstart, field, axis=0) + start // B  # [F]
     deg = jnp.take(graph.deg, field, axis=0)
     bids = (b0[:, None]
             + jnp.arange(nb, dtype=b0.dtype)[None, :]).reshape(-1)
@@ -297,7 +373,8 @@ def flat_row_windows(graph: "FlatGraph", field: jax.Array, width: int,
         blk_w = jnp.take(graph.w, bids, axis=0)
     nbr = blk_i.reshape(-1, nb * B)[:, :width]
     w = blk_w.reshape(-1, nb * B)[:, :width]
-    valid = jnp.arange(width, dtype=jnp.int32)[None, :] < deg[:, None]
+    valid = (start + jnp.arange(width, dtype=jnp.int32))[None, :] \
+        < deg[:, None]
     rows_nbr = jnp.where(valid, nbr, n)
     rows_w = jnp.where(valid, w, 0.0)
     return rows_nbr, rows_w, deg
@@ -360,7 +437,8 @@ def pad_graph_rows(graph: PaddedGraph, multiple: int) -> PaddedGraph:
     return PaddedGraph(nbr=pad_table_rows(graph.nbr, multiple),
                        w=pad_table_rows(graph.w, multiple),
                        deg=pad_table_rows(graph.deg, multiple),
-                       n_real=n)
+                       n_real=n, tier_w=graph.tier_w,
+                       tier_frac=graph.tier_frac)
 
 
 def dense_rows(x, num_nodes: Optional[int] = None,

@@ -26,6 +26,13 @@ from ..parallel.halo import owner_routed as _owner_routed
 from ..parallel.halo import row_gather
 from ..sampler.scheduler import LayerSample
 
+# The two-tier full-neighborhood term engages only at fields this large:
+# its compaction/cond machinery costs ~0.4 ms of serial dispatch latency,
+# which beats the saved gather rows only once the step is gather-WORK
+# bound (TPU A/B, scripts/profile_tiered_ab.py: 1.19x at batch 4096,
+# 0.53x at 512 — same size-dependence as SORTED_SCATTER_MIN_ROWS).
+TIER_MIN_ROWS = 4096
+
 
 def fanout_gather(x: jax.Array, slot_pos: jax.Array,
                   slot_w: jax.Array, mesh=None) -> jax.Array:
@@ -88,7 +95,7 @@ def full_neighborhood_mean(hist: jax.Array, graph: PaddedGraph,
     # mesh-aware: with a node-sharded graph the [F, Dcap] rows come from
     # their owner chips (one fused exchange); replicated graphs gather
     # locally as before
-    fnbr, fw, _ = graph_rows(graph, field_out, mesh)
+    fnbr, fw, fdeg = graph_rows(graph, field_out, mesh)
     if square:
         fw = jnp.square(fw)
     if _halo_tiles(hist, field_out, mesh):
@@ -98,8 +105,61 @@ def full_neighborhood_mean(hist: jax.Array, graph: PaddedGraph,
         interp = jax.default_backend() == "cpu"
         return hbm_gather_aggregate(hist.astype(jnp.float32), fnbr,
                                     fw, interpret=interp)
+    if (graph.tier_w > 0 and graph.tier_w <= fnbr.shape[1] - 8
+            and fnbr.shape[0] >= TIER_MIN_ROWS):
+        return tiered_full_contract(hist, fnbr, fw, fdeg, graph.tier_w,
+                                    graph.tier_frac)
     rows = jnp.take(hist, fnbr, axis=0)               # [F, Dcap, d]
     return jnp.einsum("fk,fkd->fd", fw, rows)
+
+
+def tiered_full_contract(hist: jax.Array, fnbr: jax.Array, fw: jax.Array,
+                         fdeg: jax.Array, w1: int,
+                         frac: float) -> jax.Array:
+    """Two-tier exact contraction ``out[f] = sum_k fw[f,k] * hist[fnbr[f,k]]``.
+
+    The history row gather is the CV step's dominant cost and is row-ISSUE
+    bound (PERF.md finding #5), so padding every row window to the graph
+    MAX degree is pure cost when the mean degree is far below it.  Split:
+
+    * main pass — the first ``w1`` slots of every row ([F, w1] gather),
+      exact for every row with degree <= w1 (CSR packs real edges first);
+    * tail pass — rows with degree > w1 are compacted into a static
+      ``big_cap``-row buffer and only THEY gather the remaining
+      [big_cap, Dcap - w1] window, scattered back to their positions.
+
+    If more than ``big_cap`` big rows land in one field (static capacity
+    set from the degree distribution by data.graph.choose_tier, 4x safety)
+    a ``lax.cond`` falls back to the full-width tail for every row — same
+    result, original cost — so the value is EXACT for any batch, matching
+    the untiered contraction up to sum-splitting fp reassociation.
+    """
+    F, dcap = fnbr.shape
+    big_cap = _tier_cap(F, frac)
+    main = jnp.einsum("fk,fkd->fd", fw[:, :w1],
+                      jnp.take(hist, fnbr[:, :w1], axis=0))
+
+    pos, n_big = _big_row_positions(fdeg > w1, big_cap)
+
+    sentinel = hist.shape[0] - 1
+    fnbr_p = jnp.concatenate(
+        [fnbr[:, w1:], jnp.full((1, dcap - w1), sentinel, fnbr.dtype)])
+    fw_p = jnp.concatenate(
+        [fw[:, w1:], jnp.zeros((1, dcap - w1), fw.dtype)])
+
+    def tail_tiered(_):
+        nbr_b = jnp.take(fnbr_p, pos, axis=0)         # [big_cap, Dcap-w1]
+        w_b = jnp.take(fw_p, pos, axis=0)
+        tail = jnp.einsum("fk,fkd->fd", w_b,
+                          jnp.take(hist, nbr_b, axis=0))
+        return jnp.zeros_like(main).at[pos].add(tail, mode="drop")
+
+    def tail_full(_):
+        return jnp.einsum("fk,fkd->fd", fw[:, w1:],
+                          jnp.take(hist, fnbr[:, w1:], axis=0))
+
+    tail = jax.lax.cond(n_big <= big_cap, tail_tiered, tail_full, None)
+    return main + tail
 
 
 def full_neighborhood_mean_edgelist(hist: jax.Array, graph: FlatGraph,
@@ -121,6 +181,12 @@ def full_neighborhood_mean_edgelist(hist: jax.Array, graph: FlatGraph,
     """
     from ..data.graph import flat_row_windows
     width = min(graph.edge_cap_per_row, graph.max_degree)
+    if (graph.tier_w > 0 and graph.tier_w <= width - 8
+            and field_out.shape[0] >= TIER_MIN_ROWS
+            and not _halo_tiles(hist, field_out, mesh)
+            and (graph.parts == 1 or mesh is None)):
+        return _tiered_full_edgelist(hist, graph, field_out, width,
+                                     square, mesh)
     fnbr, fw, _ = flat_row_windows(graph, field_out, width, mesh)
     if square:
         fw = jnp.square(fw)
@@ -130,6 +196,67 @@ def full_neighborhood_mean_edgelist(hist: jax.Array, graph: FlatGraph,
         return full_neighborhood_mean_halo(hist, fnbr, fw, mesh)
     rows = jnp.take(hist, fnbr, axis=0)                   # [F, width, d]
     return jnp.einsum("fk,fkd->fd", fw, rows)
+
+
+def _big_row_positions(is_big: jax.Array, big_cap: int):
+    """Compact the field positions of flagged rows into a static
+    [big_cap] buffer (sentinel F for unused slots); returns (pos, n_big).
+    Rows past the capacity are dropped — callers guard with a lax.cond
+    full-width fallback on ``n_big > big_cap``."""
+    F = is_big.shape[0]
+    n_big = jnp.sum(is_big.astype(jnp.int32))
+    rank = jnp.cumsum(is_big.astype(jnp.int32)) - 1
+    slot = jnp.where(is_big, jnp.minimum(rank, big_cap), big_cap)
+    pos = jnp.full((big_cap + 1,), F, jnp.int32) \
+        .at[slot].set(jnp.arange(F, dtype=jnp.int32))[:big_cap]
+    return pos, n_big
+
+
+def _tier_cap(F: int, frac: float) -> int:
+    return max(8, min(F, -(-int(F * frac) + 7) // 8 * 8))
+
+
+def _tiered_full_edgelist(hist: jax.Array, graph: FlatGraph,
+                          field_out: jax.Array, width: int, square: bool,
+                          mesh) -> jax.Array:
+    """Two-tier exact window contraction over a FlatGraph — the edgelist
+    counterpart of :func:`tiered_full_contract`: [F, tier_w] main windows
+    for every row, a [big_cap, width - tier_w] offset tail window
+    (flat_row_windows ``start=tier_w``) for the few rows with degree >
+    tier_w, lax.cond full-width tail on capacity overflow."""
+    from ..data.graph import flat_row_windows
+    w1 = graph.tier_w
+
+    def contract(w, nbr):
+        if square:
+            w = jnp.square(w)
+        return jnp.einsum("fk,fkd->fd", w, jnp.take(hist, nbr, axis=0))
+
+    fnbr1, fw1, fdeg = flat_row_windows(graph, field_out, w1, mesh)
+    main = contract(fw1, fnbr1)
+
+    F = field_out.shape[0]
+    big_cap = _tier_cap(F, graph.tier_frac)
+    is_big = jnp.minimum(fdeg, width) > w1
+    pos, n_big = _big_row_positions(is_big, big_cap)
+    field_p = jnp.concatenate(
+        [field_out.astype(jnp.int32),
+         jnp.array([graph.num_nodes], jnp.int32)])     # sentinel: empty row
+
+    def tail_tiered(_):
+        ids_b = jnp.take(field_p, pos, axis=0)
+        nbr_b, w_b, _ = flat_row_windows(graph, ids_b, width - w1, mesh,
+                                         start=w1)
+        return jnp.zeros_like(main).at[pos].add(contract(w_b, nbr_b),
+                                                mode="drop")
+
+    def tail_full(_):
+        nbr2, w2, _ = flat_row_windows(graph, field_out, width - w1, mesh,
+                                       start=w1)
+        return contract(w2, nbr2)
+
+    tail = jax.lax.cond(n_big <= big_cap, tail_tiered, tail_full, None)
+    return main + tail
 
 
 def ema_aggregate(inputs, ls: LayerSample, field_in: jax.Array,

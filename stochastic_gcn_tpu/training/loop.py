@@ -115,15 +115,17 @@ class Trainer:
             # reads owner-routed — parallel/halo.py)
             parts = cfg.dp if (cfg.dp > 1 and cfg.shard_graph) else 1
             self.graph_train = flat_csr(train_adj, cfg.fadj_edge_mult,
-                                        parts=parts)
+                                        parts=parts, tier=cfg.fadj_tier)
             self.graph_full = flat_csr(full_adj, cfg.fadj_edge_mult,
-                                       parts=parts)
+                                       parts=parts, tier=cfg.fadj_tier)
         else:
             # pad each graph to its own true (post-cap) max degree: the
             # full-neighborhood gather is row-issue-rate bound, so tighter
             # padding directly cuts the CV step's dominant cost
-            self.graph_train = pad_csr(train_adj, -1)
-            self.graph_full = pad_csr(full_adj, -1)
+            self.graph_train = pad_csr(train_adj, -1, tier=cfg.fadj_tier,
+                                       tier_w=cfg.fadj_tier_w)
+            self.graph_full = pad_csr(full_adj, -1, tier=cfg.fadj_tier,
+                                      tier_w=cfg.fadj_tier_w)
 
         # model specs: shared params, different estimator wiring
         # (train.py:107-119)
