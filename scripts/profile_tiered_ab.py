@@ -67,16 +67,7 @@ for batch, steps in ((512, 300), (4096, 100)):
     log(f"==> batch {batch}: {off:.3f} -> {on:.3f} ms/step "
         f"({off / on:.2f}x)")
 
-# f32 history at batch 4096: the f32 full-term gather is byte-bound on
-# top of issue-bound, so the tier's saved rows pay double there (the
-# f32-history weak spot of VERDICT r2).
-off32 = run("tier OFF f32", 4096, 100, fadj_tier=False,
-            history_dtype="float32")
-on32 = run("tier ON  f32", 4096, 100, fadj_tier=True,
-           history_dtype="float32")
-log(f"==> f32 history batch 4096: {off32:.3f} -> {on32:.3f} ms/step "
-    f"({off32 / on32:.2f}x)")
-
+# f32-history arms: scripts/profile_tiered_f32.py.
 # Measured 2026-08-19 (pre-gate, tier forced at every field size):
 #   batch 512:  0.450 -> 0.846 ms/step (0.53x)  — latency-bound LOSS
 #   batch 4096: 3.303 -> 2.785 ms/step (1.19x)  — gather-work-bound WIN

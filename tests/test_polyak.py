@@ -45,10 +45,11 @@ def test_polyak_ema_semantics(ds):
         np.testing.assert_allclose(w, got, rtol=1e-6)
 
 
-def test_polyak_eval_uses_average_and_trains(ds):
+def test_polyak_eval_uses_average_and_trains(ds, tmp_path):
     cfg = Config(dataset="synthetic", batch_size=64, degree=1,
                  test_degree=1, cv=True, test_cv=True, hidden1=16,
-                 dropout=0.2, seed=1, polyak_decay=0.99)
+                 dropout=0.2, seed=1, polyak_decay=0.99,
+                 ckpt_dir=str(tmp_path))
     tr = Trainer(cfg, ds)
     losses = []
     for _ in range(5):
@@ -83,11 +84,12 @@ def test_polyak_disabled_is_none(ds):
     assert tr._eval_params() is tr.state.params
 
 
-def test_checkpoint_polyak_mismatch_reconciles(ds):
+def test_checkpoint_polyak_mismatch_reconciles(ds, tmp_path):
     """Resuming a non-polyak checkpoint in a polyak run must re-seed the
     EMA from the restored weights (not crash); the reverse drops it."""
     base = dict(dataset="synthetic", batch_size=64, degree=1, test_degree=1,
-                cv=True, test_cv=True, hidden1=16, dropout=0.2, seed=1)
+                cv=True, test_cv=True, hidden1=16, dropout=0.2, seed=1,
+                ckpt_dir=str(tmp_path))
     tr0 = Trainer(Config(**base), ds)
     tr0.train_epoch()
     tr0.save()

@@ -1,0 +1,68 @@
+"""jax.export serving artifacts (stochastic_gcn_tpu/serving.py).
+
+The exported StableHLO module + state npz must reproduce the live
+``Trainer.predict`` output without any model-building code on the loader
+side, across all estimator eval configurations and the bf16-history
+default.
+"""
+import numpy as np
+import pytest
+
+from stochastic_gcn_tpu.config import Config
+from stochastic_gcn_tpu.data.loaders import load_data
+from stochastic_gcn_tpu.serving import export_predictor, load_predictor
+from stochastic_gcn_tpu.training.loop import Trainer
+
+
+def _trained(tmp_path, **over):
+    cfg = Config(dataset="synthetic:220:12:4", batch_size=64,
+                 test_batch_size=48, hidden1=16, dropout=0.2, seed=3,
+                 ckpt_dir=str(tmp_path), **over)
+    tr = Trainer(cfg, load_data(cfg))
+    for _ in range(2):
+        tr.train_epoch()
+    return tr
+
+
+@pytest.mark.parametrize("over", [
+    dict(degree=1, test_degree=1, cv=True, test_cv=True),
+    dict(degree=1, test_degree=1, cv=True, cvd=True, test_cv=True,
+         test_cvd=True),
+    dict(degree=2, test_degree=10000),                  # NS-style eval
+])
+def test_export_matches_live_predict(tmp_path, over):
+    tr = _trained(tmp_path, **over)
+    ids = np.asarray([0, 5, 17, 219, 3], np.int64)
+    live = tr.predict(ids)                        # refresh + exact CV
+
+    art = export_predictor(tr, str(tmp_path / "art"))
+    pred = load_predictor(art)
+    got = pred.predict(ids)
+    assert got.shape == (len(ids), tr.ds.num_classes)
+    np.testing.assert_allclose(got, live, rtol=1e-4, atol=1e-5)
+
+
+def test_export_artifact_is_self_contained(tmp_path):
+    """The loader touches only the artifact files (module bytes + npz +
+    manifest) — drive it on a fresh Predictor with the trainer deleted,
+    over multiple serving calls (history fixed point must hold)."""
+    tr = _trained(tmp_path, degree=1, test_degree=1, cv=True, test_cv=True)
+    all_ids = np.arange(tr.ds.num_data, dtype=np.int64)
+    live = tr.predict(all_ids)
+    art = export_predictor(tr, str(tmp_path / "art"))
+    del tr
+
+    pred = load_predictor(art)
+    first = pred.predict(all_ids)                  # > one batch: chunking
+    second = pred.predict(all_ids[::-1])           # order-preserving
+    np.testing.assert_allclose(first, live, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(second, first[::-1], rtol=1e-4, atol=1e-5)
+
+
+def test_export_rejects_meshed_trainer(tmp_path):
+    cfg = Config(dataset="synthetic:220:12:4", batch_size=64, dp=8,
+                 degree=1, test_degree=1, cv=True, test_cv=True,
+                 hidden1=16, seed=3)
+    tr = Trainer(cfg, load_data(cfg))
+    with pytest.raises(ValueError, match="single-chip"):
+        export_predictor(tr, str(tmp_path / "art"))
