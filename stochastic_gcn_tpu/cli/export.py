@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--out", default="model.export",
                    help="artifact directory (module.shlo + state.npz + "
                         "manifest.json)")
+    p.add_argument("--platforms", default="",
+                   help="comma-separated lowering targets, e.g. cpu,tpu "
+                        "for an artifact that serves on either fleet "
+                        "(default: current backend only)")
     own, rest = p.parse_known_args(argv)
 
     from ..config import parse_flags
@@ -39,8 +43,9 @@ def main(argv=None):
     trainer = Trainer(cfg, ds)
     trainer.load(load_history=True)
 
+    plats = tuple(s for s in own.platforms.split(",") if s)
     t0 = time.time()
-    path = export_predictor(trainer, own.out)
+    path = export_predictor(trainer, own.out, platforms=plats)
     print(f"Serving artifact written to: {path}  "
           f"time= {time.time() - t0:.5f}")
     return path

@@ -43,7 +43,8 @@ _MANIFEST = "manifest.json"
 _BF16 = "bf16:"          # npz has no native bfloat16: store the bit view
 
 
-def export_predictor(trainer, path: str, refresh: bool = True) -> str:
+def export_predictor(trainer, path: str, refresh: bool = True,
+                     platforms: Sequence[str] = ()) -> str:
     """Serialize ``trainer``'s inference surface to ``path`` (a directory).
 
     Writes the StableHLO module (one eval-epoch step at
@@ -51,6 +52,10 @@ def export_predictor(trainer, path: str, refresh: bool = True) -> str:
     — Polyak-averaged when enabled — converged eval histories, device
     graph, features, labels, importance table, and the relabeling map),
     and a manifest.
+
+    ``platforms`` selects the lowering targets (e.g. ``("cpu", "tpu")``
+    for an artifact that serves on either fleet); empty = the current
+    backend only.
     """
     from jax import export as jexport
 
@@ -85,8 +90,9 @@ def export_predictor(trainer, path: str, refresh: bool = True) -> str:
     bm_spec = jax.ShapeDtypeStruct((1, b), jnp.int32)
     key0 = jax.random.PRNGKey(cfg.seed)
     key_spec = jax.ShapeDtypeStruct(key0.shape, key0.dtype)
-    exported = jexport.export(jax.jit(flat_predict))(spec, bm_spec,
-                                                     key_spec)
+    kw = {"platforms": tuple(platforms)} if platforms else {}
+    exported = jexport.export(jax.jit(flat_predict), **kw)(spec, bm_spec,
+                                                           key_spec)
 
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, _MODULE), "wb") as f:
