@@ -155,6 +155,16 @@ class Trainer:
             if cfg.importance else jnp.zeros((n + 1,), jnp.float32)
         self.importance_test = compute_importance(self.graph_full) \
             if cfg.test_importance else jnp.zeros((n + 1,), jnp.float32)
+        # the reference's one runtime data guard: corrupt edge weights
+        # must fail loudly at build, not sample garbage silently
+        # (scheduler.cpp:114-115 throws on NaN importance)
+        for nm, imp in (("train", self.importance_train),
+                        ("test", self.importance_test)):
+            if not bool(jnp.isfinite(imp).all()):
+                raise ValueError(
+                    f"non-finite {nm} importance weights — corrupt edge "
+                    "weights in the input graph (reference "
+                    "scheduler.cpp:114-115 guard)")
 
         key = jax.random.PRNGKey(cfg.seed)
         self.key, init_key = jax.random.split(key)

@@ -59,6 +59,19 @@ def test_export_artifact_is_self_contained(tmp_path):
     np.testing.assert_allclose(second, first[::-1], rtol=1e-4, atol=1e-5)
 
 
+def test_export_serves_polyak_average(tmp_path):
+    """With --polyak_decay the artifact must bake the EMA weights (the
+    eval surface), not the raw ones."""
+    tr = _trained(tmp_path, degree=1, test_degree=1, cv=True, test_cv=True,
+                  polyak_decay=0.9)
+    assert tr.state.avg_params is not None
+    ids = np.asarray([0, 7, 100], np.int64)
+    live = tr.predict(ids)
+    art = export_predictor(tr, str(tmp_path / "art3"))
+    got = load_predictor(art).predict(ids)
+    np.testing.assert_allclose(got, live, rtol=1e-4, atol=1e-5)
+
+
 def test_multi_platform_export_serves_locally(tmp_path):
     """platforms=("cpu","tpu") lowers for both fleets; the artifact must
     still deserialize and serve on the current (cpu) backend."""

@@ -176,3 +176,22 @@ def test_activation_stats_taps():
         # the last (logits) layer must have nonzero spread
         last = list(stats.values())[-1]
         assert last["std"] > 0
+
+
+def test_nan_edge_weights_fail_loudly(tmp_path):
+    """The reference's one runtime data guard (scheduler.cpp:114-115
+    throws on NaN IS weight): corrupt edge weights must raise at Trainer
+    build instead of sampling garbage silently."""
+    import numpy as np
+    import pytest
+    from stochastic_gcn_tpu.config import Config
+    from stochastic_gcn_tpu.data.loaders import load_data
+    from stochastic_gcn_tpu.training.loop import Trainer
+
+    cfg = Config(dataset="synthetic:100:8:3", batch_size=32, degree=1,
+                 importance=True, hidden1=8, seed=1,
+                 ckpt_dir=str(tmp_path))
+    ds = load_data(cfg)
+    ds.train_adj.data[0] = np.nan
+    with pytest.raises(ValueError, match="importance"):
+        Trainer(cfg, ds)
