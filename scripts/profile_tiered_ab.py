@@ -1,9 +1,12 @@
 """A/B: two-tier CV full-neighborhood term (--fadj_tier) on the headline
 bench config (CV+PP deg=1, bf16 history, hidden 128).
 
-The bench train graph is padded to max degree 64 but its mean train degree
-is ~28, so ~56% of the full-term history-row gather — 90% of the step's
-row issues (PERF.md roofline) — is zero-weight padding.  The tiered
+The bench train graph is padded to max degree 64; its all-node mean
+degree is ~28, but the full-term field rows are TRAIN nodes, whose mean
+train-degree is ~42 (non-train rows are zero-degree in train_adj) — so
+~1/3 of the full-term history-row gather — 90% of the step's row issues
+(PERF.md roofline) — is zero-weight padding, concentrated Poisson-like
+around 42 (which is why choose_tier lands at tier_w=56, not lower).  The tiered
 contraction gathers [F, tier_w] for every row plus a capacity-bounded
 full-width tail for the few big rows.  Same-process A/B (cross-run tunnel
 variance >10%), 3 reps.

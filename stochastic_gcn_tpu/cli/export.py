@@ -43,7 +43,8 @@ def main(argv=None):
     trainer = Trainer(cfg, ds)
     trainer.load(load_history=True)
 
-    plats = tuple(s for s in own.platforms.split(",") if s)
+    plats = tuple(s.strip() for s in own.platforms.split(",")
+                  if s.strip())
     t0 = time.time()
     path = export_predictor(trainer, own.out, platforms=plats)
     print(f"Serving artifact written to: {path}  "

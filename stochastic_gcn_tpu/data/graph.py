@@ -78,7 +78,8 @@ class PaddedGraph:
         return jnp.sum(self.deg)
 
 
-def choose_tier(deg: np.ndarray, dcap: int, safety: float = 4.0):
+def choose_tier(deg: np.ndarray, dcap: int, safety: float = 4.0,
+                force_w: int = 0):
     """Pick the two-tier split (tier_w, tier_frac) for a degree sequence.
 
     Minimizes the expected full-term row-issue cost per field row,
@@ -87,15 +88,24 @@ def choose_tier(deg: np.ndarray, dcap: int, safety: float = 4.0):
     neighbour is degree-biased) probabilities that a field row's degree
     exceeds w1.  Returns (-1, 0.0) when the predicted saving is below 10%
     (tiering then only adds dispatches).
+
+    ``force_w > 0`` (the --fadj_tier_w override) skips the cost model and
+    only sizes the tail capacity for that width.
     """
     deg = np.asarray(deg, np.int64)
-    if dcap <= 16 or deg.size == 0 or deg.sum() == 0:
-        return -1, 0.0
     total_e = float(deg.sum())
+    if deg.size == 0 or total_e == 0 or (not force_w and dcap <= 16):
+        return -1, 0.0
+
+    def p_big(w1):
+        big = deg > w1
+        return max(float(big.mean()), float(deg[big].sum()) / total_e)
+
+    if force_w > 0:
+        return int(force_w), min(1.0, safety * p_big(force_w))
     best = (float(dcap), -1, 0.0)
     for w1 in range(8, dcap, 8):
-        big = deg > w1
-        p = max(float(big.mean()), float(deg[big].sum()) / total_e)
+        p = p_big(w1)
         cost = w1 + safety * p * (dcap - w1)
         if cost < best[0]:
             best = (cost, w1, p)
@@ -120,14 +130,7 @@ def pad_csr(adj: sp.csr_matrix, pad_degree: int = -1,
     def _tier(deg_capped, dcap_):
         if not tier:
             return -1, 0.0
-        if tier_w > 0:       # manual override
-            deg64 = np.asarray(deg_capped, np.int64)
-            big = deg64 > tier_w
-            tot = float(deg64.sum())
-            p = max(float(big.mean()),
-                    float(deg64[big].sum()) / tot) if tot else 0.0
-            return int(tier_w), min(1.0, 4.0 * p)
-        return choose_tier(deg_capped, dcap_)
+        return choose_tier(deg_capped, dcap_, force_w=tier_w)
 
     # native fast path (csrc/graphlib.cpp) — vectorized numpy fallback below
     try:
@@ -245,7 +248,8 @@ class FlatGraph:
 
 
 def flat_csr(adj: sp.csr_matrix, edge_mult: float = 4.0,
-             parts: int = 1, tier: bool = False) -> FlatGraph:
+             parts: int = 1, tier: bool = False,
+             tier_w: int = 0) -> FlatGraph:
     """Convert a scipy CSR adjacency to a FlatGraph.
 
     ``edge_mult`` sets ``edge_cap_per_row = ceil(edge_mult * mean_degree)``
@@ -318,9 +322,11 @@ def flat_csr(adj: sp.csr_matrix, edge_mult: float = 4.0,
     tw, tf = (-1, 0.0)
     if tier:
         width = min(cap_row, max_deg)
-        tw, tf = choose_tier(np.minimum(deg, width), width)
+        tw, tf = choose_tier(np.minimum(deg, width), width,
+                             force_w=tier_w)
         # tier boundaries must be block-aligned (they are: choose_tier
-        # scans multiples of 8 == BLOCK) and leave a real tail window
+        # scans multiples of 8 == BLOCK, and a manual --fadj_tier_w off
+        # the grid is rejected here) and leave a real tail window
         if tw > 0 and (tw % B != 0 or tw > width - B):
             tw, tf = -1, 0.0
     return FlatGraph(bstart=jnp.asarray(bstart.astype(np.int32)),

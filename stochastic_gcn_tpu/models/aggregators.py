@@ -213,7 +213,9 @@ def _big_row_positions(is_big: jax.Array, big_cap: int):
 
 
 def _tier_cap(F: int, frac: float) -> int:
-    return max(8, min(F, -(-int(F * frac) + 7) // 8 * 8))
+    # smallest multiple of 8 covering F*frac rows (frac already carries
+    # choose_tier's safety margin), clamped to [8, F]
+    return max(8, min(F, (int(F * frac) + 7) // 8 * 8))
 
 
 def _tiered_full_edgelist(hist: jax.Array, graph: FlatGraph,

@@ -65,6 +65,18 @@ def export_predictor(trainer, path: str, refresh: bool = True,
     cfg = trainer.cfg
     n = trainer.ds.num_data
 
+    # the artifact bakes ONE sampling key, so serving is only faithful
+    # when the eval config is deterministic: CV at the converged fixed
+    # point (the delta term vanishes), or full-neighborhood sampling
+    if not cfg.test_cv and cfg.test_degree < trainer.graph_full.pad_degree:
+        import warnings
+        warnings.warn(
+            "exporting a SAMPLED eval config (test_cv off, test_degree "
+            f"{cfg.test_degree} < max degree): the artifact freezes one "
+            "neighbor sample per node forever and will diverge from live "
+            "Trainer.predict; use --test_cv or a covering --test_degree "
+            "for deterministic serving.", stacklevel=2)
+
     if refresh and cfg.test_cv:
         # converge the eval histories under the current weights (the Test
         # protocol, reference train.py:339-341) — predict() refreshes

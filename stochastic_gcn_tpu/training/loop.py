@@ -115,9 +115,11 @@ class Trainer:
             # reads owner-routed — parallel/halo.py)
             parts = cfg.dp if (cfg.dp > 1 and cfg.shard_graph) else 1
             self.graph_train = flat_csr(train_adj, cfg.fadj_edge_mult,
-                                        parts=parts, tier=cfg.fadj_tier)
+                                        parts=parts, tier=cfg.fadj_tier,
+                                        tier_w=cfg.fadj_tier_w)
             self.graph_full = flat_csr(full_adj, cfg.fadj_edge_mult,
-                                       parts=parts, tier=cfg.fadj_tier)
+                                       parts=parts, tier=cfg.fadj_tier,
+                                       tier_w=cfg.fadj_tier_w)
         else:
             # pad each graph to its own true (post-cap) max degree: the
             # full-neighborhood gather is row-issue-rate bound, so tighter
@@ -157,14 +159,15 @@ class Trainer:
             if cfg.test_importance else jnp.zeros((n + 1,), jnp.float32)
         # the reference's one runtime data guard: corrupt edge weights
         # must fail loudly at build, not sample garbage silently
-        # (scheduler.cpp:114-115 throws on NaN importance)
-        for nm, imp in (("train", self.importance_train),
-                        ("test", self.importance_test)):
-            if not bool(jnp.isfinite(imp).all()):
+        # (scheduler.cpp:114-115 throws on NaN importance weight) —
+        # checked on the edge-weight tables themselves so the guard also
+        # fires without --importance
+        for nm, g in (("train", self.graph_train),
+                      ("test/full", self.graph_full)):
+            if not bool(jnp.isfinite(g.w).all()):
                 raise ValueError(
-                    f"non-finite {nm} importance weights — corrupt edge "
-                    "weights in the input graph (reference "
-                    "scheduler.cpp:114-115 guard)")
+                    f"non-finite edge weights in the {nm} graph "
+                    "(reference scheduler.cpp:114-115 guard)")
 
         key = jax.random.PRNGKey(cfg.seed)
         self.key, init_key = jax.random.split(key)

@@ -84,6 +84,14 @@ def test_multi_platform_export_serves_locally(tmp_path):
     np.testing.assert_allclose(got, live, rtol=1e-4, atol=1e-5)
 
 
+def test_export_warns_on_sampled_eval(tmp_path):
+    """A sampled eval config (no CV, small test_degree) freezes one
+    neighbor sample into the artifact — the export must say so."""
+    tr = _trained(tmp_path, degree=1, test_degree=1)
+    with pytest.warns(UserWarning, match="SAMPLED eval"):
+        export_predictor(tr, str(tmp_path / "art4"))
+
+
 def test_export_rejects_meshed_trainer(tmp_path):
     cfg = Config(dataset="synthetic:220:12:4", batch_size=64, dp=8,
                  degree=1, test_degree=1, cv=True, test_cv=True,

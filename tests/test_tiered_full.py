@@ -118,7 +118,8 @@ def test_overflow_falls_back_exactly():
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_p),
                                rtol=1e-5, atol=1e-5)
     # and that capacity really was smaller than the big-row count
-    big_cap = max(8, -(-int(field.shape[0] * 1e-6) + 7) // 8 * 8)
+    from stochastic_gcn_tpu.models.aggregators import _tier_cap
+    big_cap = _tier_cap(int(field.shape[0]), 1e-6)
     assert int(jnp.sum(fdeg > g.tier_w)) > big_cap
 
 
@@ -173,6 +174,33 @@ def test_tiered_edgelist_overflow_falls_back():
     out_p = full_neighborhood_mean(hist, g_off, field)
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_p),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_manual_width_override_both_layouts():
+    """--fadj_tier_w overrides the cost model on BOTH graph layouts; an
+    off-block-grid width is rejected on the edgelist (windows must be
+    block-aligned) rather than silently misaligned."""
+    from stochastic_gcn_tpu.data.graph import flat_csr
+
+    adj = _skewed_graph(seed=11)
+    gp = pad_csr(adj, -1, tier=True, tier_w=16)
+    assert gp.tier_w == 16 and gp.tier_frac > 0
+    gf = flat_csr(adj, edge_mult=16.0, tier=True, tier_w=16)
+    assert gf.tier_w == 16
+    assert flat_csr(adj, edge_mult=16.0, tier=True, tier_w=12).tier_w == -1
+
+    # overridden width still contracts exactly
+    rng = np.random.default_rng(12)
+    n = gp.num_nodes
+    hist = jnp.asarray(rng.normal(size=(n + 1, 8)).astype(np.float32)
+                       ).at[n].set(0.0)
+    field = jnp.asarray(rng.integers(0, n, size=64, dtype=np.int32))
+    for g in (gp, gf):
+        out_t = full_neighborhood_mean(hist, g, field)
+        out_p = full_neighborhood_mean(
+            hist, dataclasses.replace(g, tier_w=-1), field)
+        np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_p),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_trainer_trajectory_parity():

@@ -188,10 +188,17 @@ def test_nan_edge_weights_fail_loudly(tmp_path):
     from stochastic_gcn_tpu.data.loaders import load_data
     from stochastic_gcn_tpu.training.loop import Trainer
 
+    # DEFAULT config (no --importance): the guard must still fire on the
+    # edge-weight tables themselves
     cfg = Config(dataset="synthetic:100:8:3", batch_size=32, degree=1,
-                 importance=True, hidden1=8, seed=1,
-                 ckpt_dir=str(tmp_path))
+                 hidden1=8, seed=1, ckpt_dir=str(tmp_path))
     ds = load_data(cfg)
     ds.train_adj.data[0] = np.nan
-    with pytest.raises(ValueError, match="importance"):
+    with pytest.raises(ValueError, match="edge weights"):
         Trainer(cfg, ds)
+    # and with --importance + an Inf in the FULL graph (test side)
+    cfg2 = cfg.replace(importance=True, test_importance=True)
+    ds2 = load_data(cfg2)
+    ds2.full_adj.data[0] = np.inf
+    with pytest.raises(ValueError, match="edge weights"):
+        Trainer(cfg2, ds2)
