@@ -18,7 +18,10 @@ from stochastic_gcn_tpu.config import Config
 from stochastic_gcn_tpu.training.loop import Trainer
 from stochastic_gcn_tpu.models import gcn as M
 from stochastic_gcn_tpu.sampler.scheduler import schedule
-from bench import build_reddit_like, BATCH, HIDDEN, PAD_DEG
+from bench import build_reddit_like, HIDDEN, PAD_DEG
+import bench
+# batch override for post-tier decompositions (SGT_ABLATE_BATCH=4096)
+BATCH = int(os.environ.get("SGT_ABLATE_BATCH", bench.BATCH))
 
 ds = build_reddit_like()
 cfg = Config(dataset="reddit_like", batch_size=BATCH, degree=1, test_degree=1,

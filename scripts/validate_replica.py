@@ -182,6 +182,9 @@ def main():
         shard_over["is_slot_cap"] = args.is_slot_cap
     if args.fadj_tier:
         shard_over["fadj_tier"] = True
+        # force the tiered path at replica-scale field sizes (the
+        # TIER_MIN_ROWS perf gate would otherwise leave it untraced)
+        os.environ["SGT_TIER_MIN_ROWS"] = "0"
     if args.dp > 1:
         shard_over.update(dp=args.dp, owner_batching=args.owner_batching,
                           partition_nodes="rcm" if args.owner_batching

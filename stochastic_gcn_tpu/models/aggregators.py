@@ -15,6 +15,7 @@ All math matches §2.4 of SURVEY.md / gcn/layers.py:282-362 term by term.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -31,7 +32,10 @@ from ..sampler.scheduler import LayerSample
 # which beats the saved gather rows only once the step is gather-WORK
 # bound (TPU A/B, scripts/profile_tiered_ab.py: 1.19x at batch 4096,
 # 0.53x at 512 — same size-dependence as SORTED_SCATTER_MIN_ROWS).
-TIER_MIN_ROWS = 4096
+# Env-overridable so the replica acceptance-band validator can force the
+# tiered path at small-graph field sizes (validate_replica.py
+# --fadj_tier) — a perf gate, never a semantics switch.
+TIER_MIN_ROWS = int(os.environ.get("SGT_TIER_MIN_ROWS", 4096))
 
 
 def fanout_gather(x: jax.Array, slot_pos: jax.Array,
