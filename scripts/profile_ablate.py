@@ -37,7 +37,10 @@ rng = np.random.default_rng(0)
 STEPS = 200
 
 def bm():
-    ids = rng.permutation(ds.train_d)[:STEPS * BATCH].astype(np.int32)
+    # np.resize recycles train ids when STEPS*BATCH exceeds the train set
+    # (batches stay duplicate-free WITHIN a step, all the scheduler needs)
+    ids = np.resize(rng.permutation(ds.train_d).astype(np.int32),
+                    STEPS * BATCH)
     return jnp.asarray(ids.reshape(STEPS, BATCH))
 
 def timed(name, fn, *args, absorb=False):
