@@ -161,7 +161,7 @@ def build_community_reddit(cache=f"data/bench_sbm_reddit_snr{AB_SNR}.npz"):
     return ds
 
 
-def run_estimator_ab(target_f1=AB_TARGET_F1, log=print):
+def run_estimator_ab(target_f1=AB_TARGET_F1, log=print, seeds=(1,)):
     """Epochs / train-seconds / sampled-data to the target val micro-F1 for
     Exact vs NS+PP vs CV+PP vs CVD+PP on the community benchmark graph.
 
@@ -169,51 +169,87 @@ def run_estimator_ab(target_f1=AB_TARGET_F1, log=print):
     column that analyze-time.py sums); evaluation runs between epochs with
     exact inference (test_degree huge) for every algorithm so accuracy is
     measured identically.  Per algo: one throwaway warmup epoch + eval
-    (compile + the tunnel's one-time fetch), then a fresh Trainer reuses
-    the compile cache for the measured run."""
+    (compile + the tunnel's one-time fetch), then fresh Trainers reuse the
+    compile cache for the measured runs.
+
+    ``seeds``: one measured run per seed (data split/init/sampling all
+    reseed); headline keys are MEANS over seeds with per-seed arrays and
+    stds alongside — single-run wall-clock ordering between CV and CVD
+    flips run to run (VERDICT r3 weak #2), so multi-seed means are the
+    durable record (scripts/run_estimator_ab.py writes ESTIMATOR_AB.json
+    at seeds=(1,2,3); the driver bench stays single-seed for time)."""
     import dataclasses as _dc
     from stochastic_gcn_tpu.config import Config
     from stochastic_gcn_tpu.training.loop import Trainer
 
     ds = build_community_reddit()
-    out = {"ab_target_micro_f1": target_f1}
+    out = {"ab_target_micro_f1": target_f1,
+           "ab_seeds": list(seeds)}
+
+    def _mean(xs):
+        xs = [x for x in xs if x is not None]
+        return round(float(np.mean(xs)), 3) if xs else None
+
+    def _std(xs):
+        xs = [x for x in xs if x is not None]
+        return round(float(np.std(xs)), 3) if len(xs) > 1 else None
+
     base = dict(dataset="sbm_reddit", batch_size=BATCH, test_degree=10000,
                 hidden1=HIDDEN, normalization="graphsage", layer_norm=True,
                 num_fc_layers=2, weight_decay=0.0, dropout=0.2,
-                test_batch_size=2048, pad_degree=64, seed=1)
+                test_batch_size=2048, pad_degree=64)
     for name, over, max_epochs in AB_ALGOS:
-        cfg = Config(**base, **over)
-        tr = Trainer(cfg, ds)
+        cfg0 = Config(**base, seed=seeds[0], **over)
+        tr = Trainer(cfg0, ds)
         tr.train_epoch()
         tr.evaluate(ds.val_d)      # absorb compile + first-fetch stall
         del tr
-        tr = Trainer(cfg, ds)
-        train_s = 0.0
-        amt = 0
-        hit_ep = hit_s = hit_amt = None
-        traj = []
-        for epoch in range(max_epochs):
-            t0 = time.time()
-            tr.train_epoch()
-            train_s += time.time() - t0
-            amt = tr.amt_data
-            _, _, micro, _, _ = tr.evaluate(ds.val_d)
-            traj.append(float(micro))
-            log(f"ab {name} epoch {epoch + 1}: micro_f1 {micro:.4f} "
-                f"(train {train_s:.1f}s)", file=sys.stderr, flush=True)
-            if hit_ep is None and micro >= target_f1:
-                hit_ep, hit_s, hit_amt = epoch + 1, round(train_s, 2), amt
-        out[f"ab_{name}_epochs_to_target"] = hit_ep
-        out[f"ab_{name}_seconds_to_target"] = hit_s
-        out[f"ab_{name}_data_to_target"] = hit_amt
-        out[f"ab_{name}_best_micro_f1"] = round(max(traj), 4)
-        out[f"ab_{name}_plateau_micro_f1"] = round(
-            float(np.mean(traj[-5:])), 4)
-        out[f"ab_{name}_epoch_train_s"] = round(train_s / max_epochs, 3)
-        # full per-epoch curve for scripts/plot_results.py::plot_ab (the
-        # reference's plot-convergence.py draws these curves from logs)
-        out[f"ab_{name}_trajectory"] = [round(v, 4) for v in traj]
-        del tr
+        hits_ep, hits_s, hits_amt, plateaus, bests, epoch_s = \
+            [], [], [], [], [], []
+        for seed in seeds:
+            tr = Trainer(Config(**base, seed=seed, **over), ds)
+            train_s = 0.0
+            amt = 0
+            hit_ep = hit_s = hit_amt = None
+            traj = []
+            for epoch in range(max_epochs):
+                t0 = time.time()
+                tr.train_epoch()
+                train_s += time.time() - t0
+                amt = tr.amt_data
+                _, _, micro, _, _ = tr.evaluate(ds.val_d)
+                traj.append(float(micro))
+                log(f"ab {name} seed {seed} epoch {epoch + 1}: micro_f1 "
+                    f"{micro:.4f} (train {train_s:.1f}s)",
+                    file=sys.stderr, flush=True)
+                if hit_ep is None and micro >= target_f1:
+                    hit_ep, hit_s, hit_amt = (epoch + 1, round(train_s, 2),
+                                              amt)
+            hits_ep.append(hit_ep)
+            hits_s.append(hit_s)
+            hits_amt.append(hit_amt)
+            bests.append(round(max(traj), 4))
+            plateaus.append(round(float(np.mean(traj[-5:])), 4))
+            epoch_s.append(round(train_s / max_epochs, 3))
+            if seed == seeds[0]:
+                # per-epoch curve for scripts/plot_results.py::plot_ab (the
+                # reference's plot-convergence.py draws these from logs)
+                out[f"ab_{name}_trajectory"] = [round(v, 4) for v in traj]
+            del tr
+        # headline keys = MEANS over seeds (backward-compatible names)
+        out[f"ab_{name}_epochs_to_target"] = _mean(hits_ep)
+        out[f"ab_{name}_seconds_to_target"] = _mean(hits_s)
+        out[f"ab_{name}_data_to_target"] = _mean(hits_amt)
+        out[f"ab_{name}_best_micro_f1"] = _mean(bests)
+        out[f"ab_{name}_plateau_micro_f1"] = _mean(plateaus)
+        out[f"ab_{name}_epoch_train_s"] = _mean(epoch_s)
+        if len(seeds) > 1:
+            out[f"ab_{name}_epochs_to_target_per_seed"] = hits_ep
+            out[f"ab_{name}_seconds_to_target_per_seed"] = hits_s
+            out[f"ab_{name}_data_to_target_per_seed"] = hits_amt
+            out[f"ab_{name}_plateau_micro_f1_per_seed"] = plateaus
+            out[f"ab_{name}_seconds_to_target_std"] = _std(hits_s)
+            out[f"ab_{name}_epochs_to_target_std"] = _std(hits_ep)
     if out.get("ab_exact_seconds_to_target") and \
             out.get("ab_cvdpp_seconds_to_target"):
         out["ab_cvdpp_speedup_vs_exact"] = round(
@@ -493,7 +529,63 @@ def main():
         except Exception as e:      # noqa: BLE001 — report, don't crash
             result["pallas_gather_ok"] = False
             result["pallas_gather_error"] = repr(e)[:200]
-    print(json.dumps(result))
+    _emit(result)
+
+
+# The driver records only the LAST ~2000 chars of combined output and parses
+# the final JSON line it finds there (BENCH_r03 lost its headline because one
+# giant line carried 40-element A/B trajectories and the leading keys were
+# truncated away).  Budget well under the cap: stderr lines can interleave.
+_COMPACT_BUDGET = 1400
+
+# Keys that must survive into the final compact line, most important first.
+# Everything else is spilled (trajectories first — they are lists) to
+# BENCH_VERBOSE.json + an EARLY stdout line.
+_KEY_PRIORITY = [
+    "metric", "value", "unit", "vs_baseline", "error", "step_ms",
+    "steps_per_s", "edges_per_s_batch4096", "vs_baseline_batch4096",
+    "edges_per_s_f32_history", "vs_baseline_f32_history",
+    "edges_per_s_dedup", "edges_per_s_dedup_batch4096",
+    "pallas_gather_ok", "convergence_epochs_to_target",
+    "convergence_seconds_to_target", "convergence_best_micro_f1",
+    "ab_cvdpp_speedup_vs_exact", "ab_cvpp_speedup_vs_exact",
+    "ab_exact_seconds_to_target", "ab_cvpp_seconds_to_target",
+    "ab_cvdpp_seconds_to_target", "ab_nspp_seconds_to_target",
+    "ab_exact_epochs_to_target", "ab_cvpp_epochs_to_target",
+    "ab_cvdpp_epochs_to_target", "ab_cvdpp_plateau_micro_f1",
+    "ab_cvpp_plateau_micro_f1", "ab_nspp_plateau_micro_f1",
+    "loss", "device",
+]
+
+
+def _emit(result: dict):
+    """Print the headline as the FINAL stdout line, guaranteed compact.
+
+    Verbose values (lists like the A/B trajectories, long strings) plus any
+    overflow keys go to BENCH_VERBOSE.json and an earlier stdout line, so
+    the driver's tail capture always parses the headline (VERDICT r3 #1)."""
+    def _prio(k):
+        return (_KEY_PRIORITY.index(k) if k in _KEY_PRIORITY
+                else len(_KEY_PRIORITY))
+
+    compact, verbose = {}, {}
+    for k in sorted(result, key=lambda k: (_prio(k), k)):
+        v = result[k]
+        small = not isinstance(v, (list, tuple, dict)) \
+            and len(json.dumps(v, default=str)) <= 120
+        if small and len(json.dumps({**compact, k: v})) <= _COMPACT_BUDGET:
+            compact[k] = v
+        else:
+            verbose[k] = v
+    try:
+        with open("BENCH_VERBOSE.json", "w") as f:
+            json.dump(result, f, indent=1, default=str)
+    except OSError as e:
+        print(f"BENCH_VERBOSE.json write failed: {e}", file=sys.stderr)
+    if verbose:
+        # early line: may be clipped by the tail capture; the file has it all
+        print(json.dumps({"bench_verbose": verbose}, default=str))
+    print(json.dumps(compact))
 
 
 # Partial-result accumulator: main() fills this in place so a mid-run
@@ -509,7 +601,7 @@ def _emit_partial(err: str, code: int):
     _RESULT.setdefault("unit", "edges/s")
     _RESULT.setdefault("vs_baseline", None)
     _RESULT["error"] = err[:300]
-    print(json.dumps(_RESULT))
+    _emit(_RESULT)
     sys.exit(code)
 
 

@@ -118,8 +118,14 @@ class Config:
     # in the is_dropped metric) — a bounded deviation from the reference's
     # keep-every-edge semantics (scheduler.cpp:118-121).  0 = off (exact
     # reference semantics).  The expected selected slots/row at the Reddit
-    # recipe is < 2, so 8 is a comfortable cap.
-    is_slot_cap: int = 0
+    # recipe is < 2, so 8 is a comfortable cap (measured drop rate 0.004%
+    # of slots at batch 4096; replica bands green — PERF.md "IS at Reddit
+    # scale").  -1 = auto (default): 8 when the scheduled batch has
+    # >= 2048 rows (where the F*Dcap fanout gather dominates the step and
+    # the cap is worth 4.72x -> 3.58x vs NS), 0 below (small batches are
+    # latency-bound; compaction would only add kernels).  Resolved per
+    # batch shape in scheduler.schedule.
+    is_slot_cap: int = -1
     # Dedup-compact each receptive field (the reference's `visited` map,
     # scheduler.cpp:48-52).  The DEFAULT is the no-dedup (append-only)
     # layout: sampled neighbor ids append to the field without dedup,
@@ -243,7 +249,13 @@ class Config:
     graph_format: str = "padded"
     # Edge budget multiplier for the edgelist full-neighborhood term:
     # capacity per output row = ceil(fadj_edge_mult * mean_degree).
-    fadj_edge_mult: float = 4.0
+    # 0 (default) = auto-size from the degree distribution: the smallest
+    # budget covering >= 99.9% of full-term edges (graph.AUTO_EDGE_COVERAGE)
+    # — a fixed multiplier silently degrades skewed graphs (VERDICT r3
+    # item 4).  Budget-truncated rows are renormalized to preserve row
+    # mass either way (FlatGraph.renorm, the reference's --max_degree
+    # semantics, gcn/utils.py:532-543).
+    fadj_edge_mult: float = 0.0
     # Two-tier CV full-neighborhood contraction on padded graphs: a narrow
     # [F, tier_w] main gather (exact for ~all rows) + a capacity-bounded
     # tail pass for the few rows with degree > tier_w, with an exact

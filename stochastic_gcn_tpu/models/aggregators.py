@@ -180,8 +180,11 @@ def full_neighborhood_mean_edgelist(hist: jax.Array, graph: FlatGraph,
     storage) and the history-row gather issues, the CV step's dominant
     cost (PERF.md) — SURVEY.md §7.3 hard part #1.
 
-    Rows with degree above the budget lose their trailing CSR edges
-    (size via --fadj_edge_mult; see FlatGraph.edge_cap_per_row).
+    Rows with degree above the budget keep their first
+    ``edge_cap_per_row`` CSR edges, RENORMALIZED to preserve row mass
+    (FlatGraph.renorm — the reference's --max_degree semantics,
+    gcn/utils.py:532-543; size via --fadj_edge_mult, 0 = auto-cover
+    99.9% of edges).
     """
     from ..data.graph import flat_row_windows
     width = min(graph.edge_cap_per_row, graph.max_degree)
@@ -192,6 +195,7 @@ def full_neighborhood_mean_edgelist(hist: jax.Array, graph: FlatGraph,
         return _tiered_full_edgelist(hist, graph, field_out, width,
                                      square, mesh)
     fnbr, fw, _ = flat_row_windows(graph, field_out, width, mesh)
+    fw = _apply_renorm(fw, graph, field_out)
     if square:
         fw = jnp.square(fw)
     if _halo_tiles(hist, field_out, mesh):
@@ -200,6 +204,17 @@ def full_neighborhood_mean_edgelist(hist: jax.Array, graph: FlatGraph,
         return full_neighborhood_mean_halo(hist, fnbr, fw, mesh)
     rows = jnp.take(hist, fnbr, axis=0)                   # [F, width, d]
     return jnp.einsum("fk,fkd->fd", fw, rows)
+
+
+def _apply_renorm(fw: jax.Array, graph: FlatGraph, field: jax.Array):
+    """Scale full-term window weights of budget-truncated rows so row mass
+    is preserved (FlatGraph.renorm; 1.0 for untruncated rows).  Applied
+    BEFORE any squaring so the squared-adjacency variants see the
+    renormalized adjacency, as the reference's --max_degree subsample
+    would."""
+    if graph.renorm is None:
+        return fw
+    return fw * jnp.take(graph.renorm, field, axis=0)[:, None]
 
 
 def _big_row_positions(is_big: jax.Array, big_cap: int):
@@ -233,13 +248,14 @@ def _tiered_full_edgelist(hist: jax.Array, graph: FlatGraph,
     from ..data.graph import flat_row_windows
     w1 = graph.tier_w
 
-    def contract(w, nbr):
+    def contract(w, nbr, rows):
+        w = _apply_renorm(w, graph, rows)
         if square:
             w = jnp.square(w)
         return jnp.einsum("fk,fkd->fd", w, jnp.take(hist, nbr, axis=0))
 
     fnbr1, fw1, fdeg = flat_row_windows(graph, field_out, w1, mesh)
-    main = contract(fw1, fnbr1)
+    main = contract(fw1, fnbr1, field_out)
 
     F = field_out.shape[0]
     big_cap = _tier_cap(F, graph.tier_frac)
@@ -253,13 +269,13 @@ def _tiered_full_edgelist(hist: jax.Array, graph: FlatGraph,
         ids_b = jnp.take(field_p, pos, axis=0)
         nbr_b, w_b, _ = flat_row_windows(graph, ids_b, width - w1, mesh,
                                          start=w1)
-        return jnp.zeros_like(main).at[pos].add(contract(w_b, nbr_b),
-                                                mode="drop")
+        return jnp.zeros_like(main).at[pos].add(
+            contract(w_b, nbr_b, ids_b), mode="drop")
 
     def tail_full(_):
         nbr2, w2, _ = flat_row_windows(graph, field_out, width - w1, mesh,
                                        start=w1)
-        return contract(w2, nbr2)
+        return contract(w2, nbr2, field_out)
 
     tail = jax.lax.cond(n_big <= big_cap, tail_tiered, tail_full, None)
     return main + tail

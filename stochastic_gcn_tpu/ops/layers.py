@@ -158,7 +158,11 @@ def det_dropout_fc(params: dict, inputs, keep_prob: float, norm: bool):
         variance = jnp.mean(jnp.square(mu - mean), axis=1, keepdims=True)
         mu = ((mu - mean) * jax.lax.rsqrt(variance + 1e-10)
               * params["scale"] + params["offset"])
-        var = var * (jnp.square(params["scale"]) / variance)
+        # the reference divides by raw variance (layers.py:185) but its
+        # dynamic shapes never produce all-zero rows; static-shape padding
+        # does (sentinel slots), where 0 * inf = NaN — share the mu path's
+        # batch_normalization epsilon (1e-10, layers.py:184)
+        var = var * (jnp.square(params["scale"]) / (variance + 1e-10))
 
     # Rectified-Gaussian ReLU moments (layers.py:189-201).  The 1e-20 floor
     # keeps sentinel (all-zero) rows finite; the reference never sees

@@ -578,6 +578,13 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
     n = graph.num_nodes
     degrees = list(degrees)
     num_layers = len(degrees)
+    if is_slot_cap < 0:
+        # auto (cfg.is_slot_cap = -1): engage the cap only where it pays —
+        # large batches, where the [F, Dcap] fanout gather dominates
+        # (PERF.md "IS at Reddit scale": 4.72x -> 3.58x vs NS at 4096,
+        # 0.004% slots dropped, replica bands green); small batches are
+        # latency-bound and the compaction would only add kernels.
+        is_slot_cap = 8 if batch_ids.shape[0] >= 2048 else 0
     dedup = effective_dedup(dedup, batch_ids.shape[0], degrees, n,
                             graph.pad_degree,
                             importance=importance is not None,

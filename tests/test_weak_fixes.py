@@ -202,3 +202,93 @@ def test_nan_edge_weights_fail_loudly(tmp_path):
     ds2.full_adj.data[0] = np.inf
     with pytest.raises(ValueError, match="edge weights"):
         Trainer(cfg2, ds2)
+
+
+def test_det_dropout_fc_finite_on_zero_rows():
+    """Round-4 regression (VERDICT r3 dryrun matrix): det_dropout_fc's
+    normed variance path divided by raw row variance, so an all-zero
+    (sentinel padding) row produced 0 * inf = NaN — surfaced by the
+    owner-aligned field layout, whose per-chip chunk padding feeds zero
+    rows through the moment chain.  The reference divides by raw variance
+    too (layers.py:185) but its dynamic shapes never see zero rows."""
+    from stochastic_gcn_tpu.ops import layers as L
+
+    key = jax.random.PRNGKey(0)
+    params = L.init_det_dropout_fc(key, 8, 8, norm=True)
+    x = jnp.zeros((4, 8), jnp.float32).at[0].set(
+        jnp.arange(8, dtype=jnp.float32))
+    mu, var = L.det_dropout_fc(params, x, keep_prob=0.8, norm=True)
+    assert np.isfinite(np.asarray(mu)).all()
+    assert np.isfinite(np.asarray(var)).all()
+    # tuple-input branch too (deeper layers see (mu, var) pairs)
+    mu2, var2 = L.det_dropout_fc(params, (mu, var), keep_prob=0.8, norm=True)
+    assert np.isfinite(np.asarray(mu2)).all()
+    assert np.isfinite(np.asarray(var2)).all()
+
+
+def test_is_slot_cap_auto_resolution():
+    """--is_slot_cap -1 (auto, the default) resolves per batch shape:
+    8 at >= 2048 scheduled rows, 0 below (VERDICT r3 item 8)."""
+    from stochastic_gcn_tpu.data.graph import pad_csr
+    from stochastic_gcn_tpu.sampler.scheduler import compute_importance, \
+        schedule
+
+    assert Config().is_slot_cap == -1
+    dsl = synthetic_dataset(num_nodes=4096, feature_dim=4, num_classes=3,
+                            avg_degree=4, seed=0)
+    g = pad_csr(dsl.train_adj)
+    imp = compute_importance(g)
+    small = jnp.arange(16, dtype=jnp.int32)
+    pack = schedule(jax.random.PRNGKey(0), g, small, [2], cv=False,
+                    importance=imp, is_slot_cap=-1)
+    # cap off below the threshold: slot tables keep the full Dcap width
+    assert pack.layers[0].slot_pos.shape[1] == g.pad_degree
+    big = jnp.arange(2048, dtype=jnp.int32)
+    pack_big = schedule(jax.random.PRNGKey(0), g, big, [2], cv=False,
+                        importance=imp, is_slot_cap=-1)
+    assert pack_big.layers[0].slot_pos.shape[1] == 8
+
+
+def test_flat_csr_auto_budget_and_renorm():
+    """Round-4 (VERDICT r3 item 4): --fadj_edge_mult 0 (default) auto-sizes
+    the edgelist full-term budget to cover >= 99.9% of edges, and truncated
+    rows are renormalized so the full term preserves row mass (the
+    reference's --max_degree semantics, gcn/utils.py:532-543)."""
+    import scipy.sparse as sp
+    from stochastic_gcn_tpu.data.graph import AUTO_EDGE_COVERAGE
+    from stochastic_gcn_tpu.models.aggregators import \
+        full_neighborhood_mean_edgelist
+
+    rng = np.random.default_rng(0)
+    n = 400
+    # Zipf-ish degrees: a few hubs, mostly small rows
+    deg = np.minimum(rng.zipf(1.6, n).astype(np.int64), n - 1)
+    rows = np.repeat(np.arange(n), deg)
+    cols = rng.integers(0, n, size=deg.sum())
+    keep = rows != cols
+    adj = sp.csr_matrix(
+        (rng.uniform(0.1, 1.0, keep.sum()).astype(np.float32),
+         (rows[keep], cols[keep])), shape=(n, n))
+    adj.sum_duplicates()
+
+    g = flat_csr(adj)            # default: auto budget
+    true_deg = np.diff(adj.indptr)
+    covered = np.minimum(true_deg, g.edge_cap_per_row).sum()
+    assert covered >= AUTO_EDGE_COVERAGE * true_deg.sum()
+    assert g.edge_cap_per_row < int(true_deg.max())   # actually truncating
+
+    # mass preservation: with a CONSTANT history h-bar, the full term is
+    # row_mass * h for every row — renorm makes the truncated windows
+    # reproduce it exactly (up to f32)
+    hist = jnp.ones((n + 1, 3), jnp.float32) * jnp.asarray([1.0, -2.0, 0.5])
+    hist = hist.at[n].set(0.0)
+    field = jnp.asarray(np.argsort(-true_deg)[:64].astype(np.int32))
+    got = np.asarray(full_neighborhood_mean_edgelist(hist, g, field))
+    row_mass = np.asarray(adj.sum(1)).ravel()[np.asarray(field)]
+    want = row_mass[:, None] * np.asarray([1.0, -2.0, 0.5])
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+    # a generous explicit budget leaves renorm at 1 everywhere
+    g_full = flat_csr(adj, edge_mult=1000.0)
+    np.testing.assert_array_equal(np.asarray(g_full.renorm),
+                                  np.ones(n + 1, np.float32))
