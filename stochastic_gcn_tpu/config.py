@@ -147,10 +147,13 @@ class Config:
     # preserved (tests/test_field_dedup.py); the trajectory is a different
     # (equally distributed) sample stream than dedup's.  Dedup is forced
     # back ON (scheduler.effective_dedup) under --importance (slots
-    # address the selected union by id), with a mesh (owner-routed
-    # transports assume unique field rows), and whenever a layer's
-    # candidate count F*k reaches N (Exact mode — append-only capacities
-    # would grow combinatorially where the dedup clamp caps them).
+    # address the selected union by id), under --owner_batching's
+    # owner-ALIGNED layout (positional ownership blocks are compaction by
+    # construction), and whenever a layer's candidate count F*k reaches N
+    # (Exact mode — append-only capacities would grow combinatorially
+    # where the dedup clamp caps them).  Plain meshes ride no-dedup since
+    # round 4: the owner-routed transports handle duplicate rows
+    # (last-write scatter races are the documented semantics).
     field_dedup: bool = False
     # Hoist the on-device scheduler OUT of the per-step scan body into a
     # chunked vmapped per-epoch pre-pass (one batched dispatch schedules

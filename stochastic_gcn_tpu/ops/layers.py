@@ -144,6 +144,15 @@ def det_dropout_fc(params: dict, inputs, keep_prob: float, norm: bool):
         mu, var = inputs
         mu2 = jnp.square(mu)
         var = (var + mu2) / p - mu2
+    elif isinstance(inputs, PaddedSparseFeatures):
+        # sparse first layer (reference: dot(..., sparse=True) at
+        # layers.py:176-178): moments stay in padded-sparse form through
+        # the linear step — squaring acts on stored nnz values
+        mu = inputs
+        var = PaddedSparseFeatures(
+            idx=inputs.idx,
+            val=(1.0 - p) / p * jnp.square(inputs.val),
+            dim=inputs.dim)
     else:
         mu = inputs
         var = (1.0 - p) / p * jnp.square(inputs)

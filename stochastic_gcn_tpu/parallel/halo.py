@@ -303,8 +303,10 @@ def row_scatter(table: jax.Array, ids: jax.Array, rows: jax.Array,
     exceeded the static per-destination capacity (see
     :func:`scatter_capacity`) and were not applied — those history rows
     simply stay one step staler, which the CV estimator tolerates by
-    construction.  ``ids`` must be unique among real (non-sentinel) rows,
-    as the scheduler's field compaction guarantees.
+    construction.  Duplicate real ids (the no-dedup field layout,
+    cfg.field_dedup off) race to last-write exactly like a local
+    ``.at[].set`` — the documented no-dedup scatter semantics
+    (training/step.py); compacted fields keep the scatter deterministic.
 
     Fast path: updates whose target row is OWNED BY THIS CHIP are applied
     with a plain local scatter (no ICI, no capacity) — under owner-grouped

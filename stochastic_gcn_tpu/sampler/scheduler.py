@@ -122,18 +122,29 @@ def effective_dedup(dedup: bool, batch_size: int, degrees: Sequence[int],
 
     The no-dedup (append-only) layout is only active when nothing forces
     compaction: importance sampling (slots address selected union members
-    by id), meshes / owner-aligned layouts (owner-routed transports assume
-    unique field rows), or any layer whose candidate count ``f*k`` exceeds
-    ``2*num_nodes`` — past that point the dedup capacity clamp
-    ``min(f*k, N)`` saves >2x field rows (and the dense-layer FLOPs that
-    ride them), and append-only capacities grow combinatorially instead
-    (Exact mode at Reddit scale would need millions of field rows, where
-    the clamp caps them at N).  Below the threshold the layouts' capacity
-    difference is at most 2x and the append layout's skipped compaction
-    passes win (PERF.md).  Used by both :func:`schedule` and the
-    history-scatter uniqueness contract (training/step.py) so they can
-    never disagree."""
-    if dedup or importance or owner_blocks > 1 or mesh is not None:
+    by id), owner-ALIGNED layouts (positional ownership blocks are
+    compaction by construction), or any layer whose candidate count
+    ``f*k`` exceeds ``2*num_nodes`` — past that point the dedup capacity
+    clamp ``min(f*k, N)`` saves >2x field rows (and the dense-layer FLOPs
+    that ride them), and append-only capacities grow combinatorially
+    instead (Exact mode at Reddit scale would need millions of field
+    rows, where the clamp caps them at N).  Below the threshold the
+    layouts' capacity difference is at most 2x and the append layout's
+    skipped compaction passes win (PERF.md).
+
+    A plain (non-owner-aligned) mesh no longer forces dedup (round 4,
+    VERDICT r3 item 7): the owner-routed transports handle duplicate
+    field rows mechanically — fetch gathers repeat the row per request
+    slot, the history scatter races duplicates to the documented
+    last-write semantics (training/step.py), and AD accumulates duplicate
+    contributions through the all_to_all transpose exactly as a local
+    scatter-add would — so the sharded step sheds the same O(N)
+    compaction passes the single-chip step shed in round 3
+    (tests/test_parallel.py::test_sharded_nodedup_matches_replicated).
+
+    Used by both :func:`schedule` and the history-scatter uniqueness
+    contract (training/step.py) so they can never disagree."""
+    if dedup or importance or owner_blocks > 1:
         return True
     f = batch_size
     for degree in reversed(list(degrees)):
@@ -570,8 +581,10 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
 
     ``dedup=False`` (cfg.field_dedup off) selects the append-only
     :func:`append_field` layout — forced back to dedup under importance
-    sampling (slots address selected union members by id), owner-aligned
-    layouts, and meshes (owner-routed transports assume unique rows).
+    sampling (slots address selected union members by id) and
+    owner-aligned layouts (positional ownership blocks ARE compaction);
+    plain meshes ride no-dedup since round 4 (see
+    :func:`effective_dedup`).
 
     Runs entirely on device; intended to be called inside jit.
     """

@@ -74,3 +74,25 @@ def test_dense_input_flag_densifies(nell_like):
     assert isinstance(tr.train_features, jax.Array)
     loss, *_ = tr.train_epoch()
     assert np.isfinite(loss)
+
+
+@pytest.mark.parametrize("variant", ["det_dropout", "cvd"])
+def test_sparse_input_estimator_variants(nell_like, variant):
+    """det_dropout's (mu, var) first layer and CVD's dual-stream first
+    layer must accept padded-sparse inputs (the reference's
+    dot(..., sparse=True) path, gcn/layers.py:176-178, 383-388) — round-4
+    regression: det_dropout crashed on sparse Cora-replica features."""
+    kw = dict(dataset="synthetic", batch_size=64, degree=1, test_degree=1,
+              cv=True, test_cv=True, hidden1=32, dropout=0.2,
+              layer_norm=True, seed=1)
+    if variant == "det_dropout":
+        kw.update(det_dropout=True)
+    else:
+        kw.update(cvd=True, test_cvd=True)
+    tr = Trainer(Config(**kw), nell_like)
+    from stochastic_gcn_tpu.data.graph import PaddedSparseFeatures
+    assert isinstance(tr.train_features, PaddedSparseFeatures)
+    loss, acc, _, _ = tr.train_epoch()
+    assert np.isfinite(loss)
+    ev = tr.evaluate(nell_like.val_d)
+    assert np.isfinite(ev[0])
