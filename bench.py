@@ -486,6 +486,35 @@ def main():
         result["edges_per_s_batch4096"] = round(edges_per_s_big, 1)
         result["vs_baseline_batch4096"] = round(
             edges_per_s_big / REFERENCE_EDGES_PER_S_B4096, 3)
+    if not fast:
+        # IS recipe record (VERDICT r3 item 8): the auto slot cap
+        # (is_slot_cap -1 -> 8 at batch 4096) vs the exact-semantics cap-0
+        # path, so the shipped default's measured delta is in the artifact
+        for cap, key in ((-1, "edges_per_s_is_batch4096"),
+                         (0, "edges_per_s_is_cap0_batch4096")):
+            cfg_is = cfg.replace(batch_size=big, cv=False, test_cv=False,
+                                 importance=True, test_importance=True,
+                                 is_slot_cap=cap)
+            tr_is = Trainer(cfg_is, ds)
+            def is_matrix(s):
+                ids = np.resize(rng.permutation(ds.train_d)
+                                .astype(np.int32), s * big)
+                return jnp.asarray(ids.reshape(s, big))
+            tr_is.state, mis = tr_is._train_epoch(
+                tr_is.state, tr_is.graph_train, tr_is.train_features,
+                tr_is.labels, tr_is.importance_train, is_matrix(big_steps),
+                tr_is._next_key())
+            _ = float(mis["loss"])
+            amt_is = 0
+            t0 = time.time()
+            for _ in range(3):
+                tr_is.state, mis = tr_is._train_epoch(
+                    tr_is.state, tr_is.graph_train, tr_is.train_features,
+                    tr_is.labels, tr_is.importance_train,
+                    is_matrix(big_steps), tr_is._next_key())
+                amt_is += int(mis["amt_data"])
+            result[key] = round(amt_is / (time.time() - t0), 1)
+            del tr_is, mis
     if edges_per_s_nd is not None:
         result["edges_per_s_dedup"] = round(edges_per_s_nd, 1)
     if edges_per_s_nd_big is not None:
@@ -546,6 +575,7 @@ _KEY_PRIORITY = [
     "steps_per_s", "edges_per_s_batch4096", "vs_baseline_batch4096",
     "edges_per_s_f32_history", "vs_baseline_f32_history",
     "edges_per_s_dedup", "edges_per_s_dedup_batch4096",
+    "edges_per_s_is_batch4096", "edges_per_s_is_cap0_batch4096",
     "pallas_gather_ok", "convergence_epochs_to_target",
     "convergence_seconds_to_target", "convergence_best_micro_f1",
     "ab_cvdpp_speedup_vs_exact", "ab_cvpp_speedup_vs_exact",
