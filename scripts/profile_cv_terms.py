@@ -32,12 +32,15 @@ def log(*a):
 
 
 def timeit(fn, *args, reps=50):
+    # round 4: block_until_ready does NOT synchronize through the axon
+    # tunnel (verify skill) — close the window with a value fetch; the
+    # per-window fetch overhead (~0.3 ms) is amortized over reps
     out = fn(*args)
-    jax.block_until_ready(out)
+    _ = float(jnp.asarray(out).reshape(-1)[0].astype(jnp.float32))
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _ = float(jnp.asarray(out).reshape(-1)[0].astype(jnp.float32))
     return (time.time() - t0) / reps * 1e3, out
 
 
