@@ -217,6 +217,16 @@ def _apply_renorm(fw: jax.Array, graph: FlatGraph, field: jax.Array):
     return fw * jnp.take(graph.renorm, field, axis=0)[:, None]
 
 
+# Position-compaction lowering for the tier's big-row buffer: "topk"
+# (default) = one stable lax.top_k over the flags; "cumsum" = the round-3
+# cumsum+scatter chain (4 kernels).  Both pick the FIRST big_cap flagged
+# positions (top_k breaks ties by ascending index), so the selected set —
+# including the overflow drop set — is identical; only the kernel count
+# differs.  Env-switchable for the on-chip A/B
+# (scripts/profile_tier_machinery.py).
+TIER_POS_IMPL = os.environ.get("SGT_TIER_POS", "topk")
+
+
 def _big_row_positions(is_big: jax.Array, big_cap: int):
     """Compact the field positions of flagged rows into a static
     [big_cap] buffer (sentinel F for unused slots); returns (pos, n_big).
@@ -224,6 +234,13 @@ def _big_row_positions(is_big: jax.Array, big_cap: int):
     full-width fallback on ``n_big > big_cap``."""
     F = is_big.shape[0]
     n_big = jnp.sum(is_big.astype(jnp.int32))
+    if TIER_POS_IMPL == "topk" and big_cap <= F:
+        # stable top_k over the flags: flagged positions first, ties (all
+        # the 1s, all the 0s) in ascending index order
+        _, pos = jax.lax.top_k(is_big.astype(jnp.int32), big_cap)
+        keep = jnp.arange(big_cap, dtype=jnp.int32) \
+            < jnp.minimum(n_big, big_cap)
+        return jnp.where(keep, pos.astype(jnp.int32), F), n_big
     rank = jnp.cumsum(is_big.astype(jnp.int32)) - 1
     slot = jnp.where(is_big, jnp.minimum(rank, big_cap), big_cap)
     pos = jnp.full((big_cap + 1,), F, jnp.int32) \

@@ -224,3 +224,27 @@ def test_trainer_trajectory_parity():
         losses[tier] = ls
     np.testing.assert_allclose(losses[True], losses[False],
                                rtol=2e-3, atol=2e-4)
+
+
+def test_big_row_positions_topk_equals_cumsum():
+    """Round 4: the tier's big-row position buffer has two lowerings —
+    one stable lax.top_k over the flags (default) vs the round-3
+    cumsum+scatter chain.  Both must pick the FIRST big_cap flagged
+    positions (top_k ties break by ascending index), identical down to
+    the overflow drop set."""
+    import numpy as np
+    from stochastic_gcn_tpu.models import aggregators as A
+
+    rng = np.random.default_rng(3)
+    old = A.TIER_POS_IMPL
+    try:
+        for F, cap in ((64, 8), (64, 64), (100, 17), (256, 1)):
+            flags = jnp.asarray(rng.random(F) < 0.3)
+            A.TIER_POS_IMPL = "topk"
+            p1, n1 = A._big_row_positions(flags, cap)
+            A.TIER_POS_IMPL = "cumsum"
+            p2, n2 = A._big_row_positions(flags, cap)
+            assert int(n1) == int(n2)
+            np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    finally:
+        A.TIER_POS_IMPL = old
