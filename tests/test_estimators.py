@@ -143,3 +143,34 @@ def test_cv_training_reduces_variance_vs_ns(ds):
     # gradient variance does not blow up vs NS (strict improvement needs a
     # converged history; checked at the prediction level above)
     assert r_cv["grad_stdev"] < 1.5 * r_ns["grad_stdev"]
+
+
+def dense_forward_gcn_pp_3layer(ds, params, adj):
+    """Independent dense 3-layer PP model (gcn norm): two sampled
+    aggregation layers after PP — logits = Â·relu(Â·relu(PP·W0)·W1)·W2."""
+    pp = np.asarray(adj.dot(ds.feats))
+    h = np.maximum(pp @ np.asarray(params["dense0"]["weights"]), 0.0)
+    h = np.maximum(np.asarray(adj.dot(h))
+                   @ np.asarray(params["dense1"]["weights"]), 0.0)
+    return np.asarray(adj.dot(h)) @ np.asarray(params["dense2"]["weights"])
+
+
+def test_three_layer_cv_trains_and_inference_converges(ds):
+    """--num_layers 3 end-to-end (round 4): TWO sampled aggregation layers
+    under PP, each with its own history chain; training runs finite, and
+    after num_layers+1 = 4 exact eval passes CV inference equals the
+    independent dense 3-layer forward (the reference Test() protocol,
+    train.py:339-341, at L=3)."""
+    tr = make_trainer(ds, num_layers=3, degree=1, test_degree=1, cv=True,
+                      test_cv=True, test_batch_size=40)
+    assert len(tr.state.histories) == 2          # one per sampled layer
+    for _ in range(3):
+        loss, *_ = tr.train_epoch()
+        assert np.isfinite(loss)
+    ids = np.arange(ds.num_data, dtype=np.int32)
+    with jax.default_matmul_precision("float32"):
+        for _ in range(tr.cfg.num_layers + 1):
+            preds_cv = eval_logits(tr, ids)
+    logits = dense_forward_gcn_pp_3layer(ds, tr.state.params, ds.full_adj)
+    expect = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    np.testing.assert_allclose(preds_cv, expect, rtol=5e-3, atol=5e-4)
