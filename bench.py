@@ -370,16 +370,22 @@ def main():
     print(f"warmup (compile + {steps} steps + first fetch) in "
           f"{time.time()-t0:.1f}s", file=sys.stderr)
 
-    reps = 3
-    amt = 0
-    t0 = time.time()
+    # per-dispatch timing, median of 5: each window closes with the
+    # int() value fetch (block_until_ready does not sync through the
+    # tunnel), and the median absorbs tunnel jitter that wobbled the
+    # r3/r4 pooled-mean numbers by ~15% run to run
+    reps = 5
+    dts, amts = [], []
     for _ in range(reps):
+        t0 = time.time()
         tr.state, metrics = tr._train_epoch(
             tr.state, tr.graph_train, tr.train_features, tr.labels,
             tr.importance_train, batch_matrix(steps), tr._next_key())
-        amt += int(metrics["amt_data"])
-    dt = time.time() - t0
-
+        amts.append(int(metrics["amt_data"]))
+        dts.append(time.time() - t0)
+    mid = int(np.argsort(dts)[len(dts) // 2])
+    dt = dts[mid] * reps                  # median dispatch scaled to total
+    amt = int(np.mean(amts)) * reps
     total_steps = reps * steps
     edges_per_s = amt / dt
     steps = total_steps
@@ -446,6 +452,8 @@ def main():
         "vs_baseline": round(edges_per_s / REFERENCE_EDGES_PER_S, 3),
         "steps_per_s": round(steps / dt, 2),
         "step_ms": round(1000 * dt / steps, 2),
+        "step_ms_min": round(1000 * min(dts) / (steps // reps), 3),
+        "step_ms_max": round(1000 * max(dts) / (steps // reps), 3),
         "loss": round(float(metrics["loss"]), 4),
         "device": str(jax.devices()[0]),
     }
