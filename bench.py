@@ -209,18 +209,32 @@ def run_estimator_ab(target_f1=AB_TARGET_F1, log=print, seeds=(1,)):
         for seed in seeds:
             tr = Trainer(Config(**base, seed=seed, **over), ds)
             train_s = 0.0
+            rtt_s = 0.0
             amt = 0
             hit_ep = hit_s = hit_amt = None
             traj = []
             for epoch in range(max_epochs):
+                # Null-fetch round trip: the per-epoch wall clock below
+                # closes with a value fetch (the only sync that works
+                # through the device tunnel), whose transit latency is
+                # measurement apparatus, not training — through a degraded
+                # tunnel it reaches SECONDS and once inflated the sampled
+                # arms ~13x (VERDICT r3 weak #2).  Measure it on an idle
+                # queue immediately before the epoch and subtract.
+                r0 = time.time()
+                _ = int(tr.state.step)
+                rtt = time.time() - r0
                 t0 = time.time()
                 tr.train_epoch()
-                train_s += time.time() - t0
+                ep_s = max(time.time() - t0 - rtt, 0.0)
+                train_s += ep_s
+                rtt_s += rtt
                 amt = tr.amt_data
                 _, _, micro, _, _ = tr.evaluate(ds.val_d)
                 traj.append(float(micro))
                 log(f"ab {name} seed {seed} epoch {epoch + 1}: micro_f1 "
-                    f"{micro:.4f} (train {train_s:.1f}s)",
+                    f"{micro:.4f} (train {train_s:.1f}s, fetch-rtt "
+                    f"{rtt_s:.1f}s excluded)",
                     file=sys.stderr, flush=True)
                 if hit_ep is None and micro >= target_f1:
                     hit_ep, hit_s, hit_amt = (epoch + 1, round(train_s, 2),
@@ -228,6 +242,7 @@ def run_estimator_ab(target_f1=AB_TARGET_F1, log=print, seeds=(1,)):
             hits_ep.append(hit_ep)
             hits_s.append(hit_s)
             hits_amt.append(hit_amt)
+            out[f"ab_{name}_fetch_rtt_s"] = round(rtt_s, 2)
             bests.append(round(max(traj), 4))
             plateaus.append(round(float(np.mean(traj[-5:])), 4))
             epoch_s.append(round(train_s / max_epochs, 3))
@@ -282,8 +297,15 @@ def run_convergence(cfg, base, target_f1=0.40, max_epochs=150):
     tr = Trainer(cfg.replace(test_batch_size=2048), ds)
     t_start = time.time()
     hit_epochs = hit_seconds = None
+    rtt_s = 0.0
     best = 0.0
     for epoch in range(max_epochs):
+        # null-fetch round trip x2 (train_epoch + evaluate each close with
+        # a value fetch): tunnel transit is measurement apparatus, not
+        # work — see the same correction in run_estimator_ab
+        r0 = time.time()
+        _ = int(tr.state.step)
+        rtt_s += 2 * (time.time() - r0)
         tr.train_epoch()
         _, _, micro, _, _ = tr.evaluate(ds.val_d)
         best = max(best, micro)
@@ -291,7 +313,7 @@ def run_convergence(cfg, base, target_f1=0.40, max_epochs=150):
               file=sys.stderr, flush=True)
         if micro >= target_f1:
             hit_epochs = epoch + 1
-            hit_seconds = round(time.time() - t_start, 1)
+            hit_seconds = round(max(time.time() - t_start - rtt_s, 0.0), 1)
             break
     return {
         "convergence_target_micro_f1": target_f1,

@@ -149,6 +149,13 @@ def main():
                     help="validate the two-tier full-neighborhood term "
                          "(exact by construction; band run guards the "
                          "integration)")
+    ap.add_argument("--lazy_fullterm", action="store_true",
+                    help="validate the epoch-frozen CV anchor "
+                         "(--lazy_fullterm: a-bar table full term + "
+                         "epoch-start anchors) against the same "
+                         "acceptance bands — this one is a real "
+                         "estimator-semantics variant, not just a "
+                         "kernel swap")
     args = ap.parse_args()
     if args.algos:
         keep = set(a.strip() for a in args.algos.split(",")) | {"Exact"}
@@ -185,6 +192,8 @@ def main():
         # force the tiered path at replica-scale field sizes (the
         # TIER_MIN_ROWS perf gate would otherwise leave it untraced)
         os.environ["SGT_TIER_MIN_ROWS"] = "0"
+    if args.lazy_fullterm:
+        shard_over["lazy_fullterm"] = True
     if args.dp > 1:
         shard_over.update(dp=args.dp, owner_batching=args.owner_batching,
                           partition_nodes="rcm" if args.owner_batching

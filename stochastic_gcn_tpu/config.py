@@ -271,6 +271,22 @@ class Config:
     # fields keep the plain contraction (PERF.md round 3).
     fadj_tier: bool = True
     fadj_tier_w: int = 0
+    # Epoch-frozen CV anchor ("lazy full term"): snapshot h-bar at epoch
+    # start, precompute a-bar = A_full . h-bar ONCE per epoch as a chunked
+    # bulk SpMM (models/aggregators.py::full_abar, inside the same epoch
+    # dispatch), and anchor BOTH CV terms at the snapshot — the per-step
+    # full-neighborhood term (reference gcn/layers.py:355, ~90% of the
+    # step's gather-row issues) becomes ONE [F, d] row gather of a-bar
+    # instead of an [F, Dcap] history-row gather.  The estimator stays
+    # exactly unbiased (E[Z] = A.H around the common anchor; delta and
+    # full terms read the SAME snapshot) and exact at convergence; the
+    # one semantics change vs the reference is anchor staleness: all
+    # anchors are epoch-start instead of last-visit (both <= 1 epoch
+    # stale).  Worth it only where the saved per-step gather rows exceed
+    # the per-epoch N x Dcap recompute (batch >= ~2k, PERF.md round 4);
+    # default off.  Single-chip train path; meshes and eval keep the
+    # per-step term.
+    lazy_fullterm: bool = False
     # Unroll factor for the whole-epoch lax.scan (steps per scan body).
     # >1 amortizes per-iteration scan bookkeeping when the step itself is
     # dispatch-overhead-bound (small batches); costs compile time.

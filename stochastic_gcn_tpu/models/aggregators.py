@@ -298,6 +298,55 @@ def _tiered_full_edgelist(hist: jax.Array, graph: FlatGraph,
     return main + tail
 
 
+"""Chunk size (node rows per lax.map step) for the bulk a-bar recompute:
+bounds the [chunk, Dcap, d] gather transient (~128 MB at Dcap=d=128 bf16)
+while keeping each chunk large enough to be gather-WORK bound."""
+ABAR_CHUNK = int(os.environ.get("SGT_ABAR_CHUNK", 4096))
+
+
+def full_abar(hist: jax.Array, graph, num_nodes: int,
+              square: bool = False, chunk: int = 0) -> jax.Array:
+    """``A_full · h̄`` for EVERY node — the epoch-frozen aggregate table of
+    ``--lazy_fullterm`` (cfg.lazy_fullterm).
+
+    One bulk SpMM over all N rows, chunked with ``lax.map`` so the
+    [chunk, Dcap, d] row-gather transient stays bounded; each chunk reuses
+    :func:`full_neighborhood_mean` (padded / edgelist / tiered dispatch
+    identical to the per-step term, so the table is exactly what the
+    per-step contraction would produce for those rows).  Returns
+    [R, d] float32 (R = hist rows incl. sentinel padding); rows >= N hold
+    the sentinel row's zeros.  ``square=True`` builds the squared-adjacency
+    table for the det-dropout variance term (gcn/layers.py:338)."""
+    chunk = chunk or ABAR_CHUNK
+    r = hist.shape[0]
+    rp = -(-r // chunk) * chunk
+    ids = jnp.arange(rp, dtype=jnp.int32)
+    ids = jnp.where(ids < num_nodes, ids, num_nodes)
+    out = jax.lax.map(
+        lambda c: full_neighborhood_mean(hist, graph, c, square=square),
+        ids.reshape(rp // chunk, chunk))
+    return out.reshape(rp, -1)[:r]
+
+
+def _anchor(history, lazy_l, j: int):
+    """The CV anchor table for history array ``j`` of this layer: the live
+    table, or the epoch-start snapshot under --lazy_fullterm (both CV
+    terms must read the SAME h̄ or the estimator picks up a staleness
+    bias — see Config.lazy_fullterm)."""
+    return history[j] if lazy_l is None else lazy_l[0][j]
+
+
+def _full_term(history, lazy_l, j: int, graph, field_out, square=False,
+               use_pallas=False, mesh=None):
+    """``(A_full · h̄)[field_out]``: the per-step contraction, or one row
+    gather of the precomputed a-bar table under --lazy_fullterm."""
+    if lazy_l is None:
+        return full_neighborhood_mean(history[j], graph, field_out,
+                                      square=square, use_pallas=use_pallas,
+                                      mesh=mesh)
+    return jnp.take(lazy_l[1][j], field_out, axis=0)
+
+
 def ema_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
                   history: Tuple[jax.Array, ...], alpha: float,
                   normalization: str):
@@ -353,7 +402,8 @@ def plain_aggregate(inputs, ls: LayerSample, normalization: str, mesh=None):
 def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
                  field_out: jax.Array, graph: PaddedGraph,
                  history: Tuple[jax.Array, ...], cvd: bool,
-                 normalization: str, use_pallas: bool = False, mesh=None):
+                 normalization: str, use_pallas: bool = False, mesh=None,
+                 lazy_l=None):
     """VRAggregator (gcn/layers.py:282-362).
 
     Returns (outputs, new_history) where new_history is a tuple of arrays
@@ -364,14 +414,20 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
       cvd         — dual-stream (h, mu) with per-node 1/sqrt scale
       (mu, var)   — det_dropout moment propagation with squared/cross adj
       plain       — CV: Â_samp·(H - h̄) + Â_full·h̄
+
+    ``lazy_l``: epoch-frozen anchor for this layer under --lazy_fullterm —
+    ``(snapshot history tuple, a-bar table tuple)``; both CV terms read
+    the snapshot and the full term becomes a row gather of a-bar
+    (see Config.lazy_fullterm).
     """
     if cvd:
         h, mu = inputs
-        mu_small = history_gather(history[0], field_in, mesh)  # h̄ on in-field
+        mu_small = history_gather(_anchor(history, lazy_l, 0), field_in,
+                                  mesh)                  # h̄ on in-field
         z = h - mu
         delta_mu = mu - mu_small
-        mu_mean = full_neighborhood_mean(history[0], graph, field_out,
-                                         use_pallas=use_pallas, mesh=mesh)
+        mu_mean = _full_term(history, lazy_l, 0, graph, field_out,
+                             use_pallas=use_pallas, mesh=mesh)
         mu_neighbour = fanout_gather(delta_mu, ls.slot_pos, ls.slot_w,
                                      mesh) + mu_mean
         h_neighbour = fanout_gather(z, ls.slot_pos, ls.slot_w, mesh) \
@@ -388,24 +444,24 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
     if isinstance(inputs, tuple):
         # det_dropout: (mu, var) moments (gcn/layers.py:320-349)
         mu, var = inputs
-        mu_history, var_history = history
 
-        delta_mu = mu - history_gather(mu_history, field_in, mesh)
+        delta_mu = mu - history_gather(_anchor(history, lazy_l, 0),
+                                       field_in, mesh)
         sigma = jnp.sqrt(var)
-        sigma_bar = jnp.sqrt(history_gather(var_history, field_in, mesh))
+        sigma_bar = jnp.sqrt(history_gather(_anchor(history, lazy_l, 1),
+                                            field_in, mesh))
         delta_sigma = sigma - sigma_bar
         msigma = delta_sigma * sigma_bar
 
         mu_neighbour = fanout_gather(delta_mu, ls.slot_pos, ls.slot_w,
                                      mesh) \
-            + full_neighborhood_mean(mu_history, graph, field_out,
-                                     use_pallas=use_pallas, mesh=mesh)
+            + _full_term(history, lazy_l, 0, graph, field_out,
+                         use_pallas=use_pallas, mesh=mesh)
         var_neighbour = (
             fanout_gather(jnp.square(delta_sigma), ls.slot_pos,
                           jnp.square(ls.slot_w), mesh)
-            + full_neighborhood_mean(var_history, graph, field_out,
-                                     square=True, use_pallas=use_pallas,
-                                     mesh=mesh)
+            + _full_term(history, lazy_l, 1, graph, field_out,
+                         square=True, use_pallas=use_pallas, mesh=mesh)
             + 2.0 * fanout_gather(msigma, ls.slot_pos, ls.slot_aw, mesh))
         var_neighbour = jax.nn.relu(var_neighbour) + 1e-10
 
@@ -422,11 +478,11 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
     #   Z = Â_samp·(H - h̄[field_in]) + Â_full·h̄
     # (the reference computes Â·H - Â·h̄ as two SpMMs; fused here — same
     # linear algebra, half the gather traffic)
-    hist = history[0]
-    delta = inputs - history_gather(hist, field_in, mesh)
+    delta = inputs - history_gather(_anchor(history, lazy_l, 0),
+                                    field_in, mesh)
     a_neighbour = fanout_gather(delta, ls.slot_pos, ls.slot_w, mesh) \
-        + full_neighborhood_mean(hist, graph, field_out,
-                                 use_pallas=use_pallas, mesh=mesh)
+        + _full_term(history, lazy_l, 0, graph, field_out,
+                     use_pallas=use_pallas, mesh=mesh)
     new_history = (inputs,)
     return (_self_concat(normalization, _self_rows(inputs, ls, mesh),
                          a_neighbour),

@@ -275,7 +275,7 @@ def _tap(taps, label, h):
 def forward(params: dict, spec: ModelSpec, pack: BatchFields,
             graph: Optional[PaddedGraph], histories, features,
             key: jax.Array, keep_prob: float, train: bool, mesh=None,
-            taps=None):
+            taps=None, lazy=None):
     """Run the layer stack (gcn/models.py:147-159).
 
     Returns (logits [B, output_dim], new_histories) where new_histories[l]
@@ -284,6 +284,11 @@ def forward(params: dict, spec: ModelSpec, pack: BatchFields,
 
     ``taps``: optional list; when given, (label, mean, std, absmax) of
     every layer output is appended — see :func:`_tap`.
+
+    ``lazy``: epoch-frozen CV anchor under --lazy_fullterm — a pair
+    ``(snapshot histories, a-bar tables)`` with the same per-layer
+    structure as ``histories`` (see Config.lazy_fullterm); None = the
+    reference's per-step full term.
     """
     kp = keep_prob if train else 1.0
     h = _slice_inputs(features, pack.fields[0], mesh)
@@ -326,7 +331,9 @@ def forward(params: dict, spec: ModelSpec, pack: BatchFields,
                 h, nh = agg.vr_aggregate(
                     h, ls, pack.fields[l], pack.fields[l + 1], graph,
                     histories[l], spec.cvd, spec.normalization,
-                    use_pallas=spec.use_pallas, mesh=mesh)
+                    use_pallas=spec.use_pallas, mesh=mesh,
+                    lazy_l=None if lazy is None
+                    else (lazy[0][l], lazy[1][l]))
                 new_histories[l] = nh
             else:
                 h = agg.plain_aggregate(h, ls, spec.normalization,

@@ -216,7 +216,8 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
     owner_blocks = cfg.dp if (cfg.owner_batching and mesh is not None) else 0
 
     def _step(state: TrainState, graph: PaddedGraph, features, labels,
-              importance, batch_ids, key, importance_rows=None, pack=None):
+              importance, batch_ids, key, importance_rows=None, pack=None,
+              lazy=None):
         # fields carry unique ids unless the no-dedup layout is ACTIVE —
         # the SAME trace-time decision schedule() makes (effective_dedup),
         # so the scatter's uniqueness contract can never disagree with the
@@ -246,7 +247,7 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
         def loss_fn(params):
             logits, new_h = M.forward(
                 params, spec, pack, graph, state.histories, features,
-                k_drop, cfg.keep_prob, train=True, mesh=mesh)
+                k_drop, cfg.keep_prob, train=True, mesh=mesh, lazy=lazy)
             loss, acc = M.loss_and_metrics(params, spec, logits, y, valid,
                                            cfg.weight_decay)
             return loss, (acc, new_h)
@@ -359,6 +360,24 @@ def build_train_epoch(cfg: Config, spec: M.ModelSpec,
             from ..sampler.scheduler import importance_row_table
             imp_rows = importance_row_table(graph, importance)
 
+        # --lazy_fullterm: snapshot h-bar and precompute the a-bar tables
+        # ONCE per epoch, inside this same dispatch (the epoch timing —
+        # and the bench — therefore always pays for the recompute).  The
+        # scan below reads ONLY the snapshot/a-bar (scan constants); the
+        # per-step scatters keep updating the carried live histories,
+        # which the NEXT epoch's snapshot picks up.  Single-chip only —
+        # meshes keep the per-step owner-routed term.
+        lazy = None
+        if cfg.lazy_fullterm and spec.cv and mesh is None:
+            from ..models.aggregators import full_abar
+            snap = state.histories
+            abar = tuple(
+                tuple(full_abar(h, graph, num_nodes,
+                                square=(spec.det_dropout and j == 1))
+                      for j, h in enumerate(hl))
+                for hl in snap)
+            lazy = (snap, abar)
+
         # auto: only the regime where the A/B measured a win (TPU v5 lite,
         # scripts/profile_prepass_ab.py): dedup-compacted schedules at
         # small batch are kernel-LATENCY bound (0.542 -> 0.482 ms/step at
@@ -399,7 +418,7 @@ def build_train_epoch(cfg: Config, spec: M.ModelSpec,
             batch_ids, pack = xs
             st, m = _step(st, graph, features, labels, importance,
                           batch_ids, key, importance_rows=imp_rows,
-                          pack=pack)
+                          pack=pack, lazy=lazy)
             return st, (m["loss"], m["accuracy"], m["amt_data"],
                         m["field_sizes"], m["adj_sizes"], m["fadj_sizes"],
                         m["hist_dropped"], m["is_dropped"])
