@@ -72,3 +72,17 @@ for batch in (512, 4096):
              lazy_fullterm=True)
     log(f"==> batch {batch} ({hist_dtype}): {off:.3f} -> {on:.3f} ms/step "
         f"({off / on:.2f}x)")
+
+# The lazy trade wins only when saved rows (S x sum_l F_l x Dcap) exceed
+# the recompute (n_layers x N x Dcap) by enough to also cover the chunked
+# SpMM's fusion deficit.  A 3-layer model doubles the per-step full terms
+# AND widens the fields — the friendliest realistic regime:
+if os.environ.get("LAZY_AB_3LAYER", "1") != "0":
+    batch = 4096
+    steps = -(-N_TRAIN // batch)
+    off = run("3L lazy OFF", batch, steps, history_dtype=hist_dtype,
+              num_layers=3)
+    on = run("3L lazy ON ", batch, steps, history_dtype=hist_dtype,
+             num_layers=3, lazy_fullterm=True)
+    log(f"==> batch {batch} 3-layer ({hist_dtype}): {off:.3f} -> "
+        f"{on:.3f} ms/step ({off / on:.2f}x)")
