@@ -178,7 +178,6 @@ def run_estimator_ab(target_f1=AB_TARGET_F1, log=print, seeds=(1,)):
     flips run to run (VERDICT r3 weak #2), so multi-seed means are the
     durable record (scripts/run_estimator_ab.py writes ESTIMATOR_AB.json
     at seeds=(1,2,3); the driver bench stays single-seed for time)."""
-    import dataclasses as _dc
     from stochastic_gcn_tpu.config import Config
     from stochastic_gcn_tpu.training.loop import Trainer
 
@@ -206,13 +205,17 @@ def run_estimator_ab(target_f1=AB_TARGET_F1, log=print, seeds=(1,)):
         del tr
         hits_ep, hits_s, hits_amt, plateaus, bests, epoch_s = \
             [], [], [], [], [], []
+        hits_s_steady = []
+        rtts = []
         for seed in seeds:
             tr = Trainer(Config(**base, seed=seed, **over), ds)
+            _ = int(tr.state.step)   # sync async state init off the clock
             train_s = 0.0
             rtt_s = 0.0
             amt = 0
             hit_ep = hit_s = hit_amt = None
             traj = []
+            ep_times = []
             for epoch in range(max_epochs):
                 # Null-fetch round trip: the per-epoch wall clock below
                 # closes with a value fetch (the only sync that works
@@ -229,6 +232,7 @@ def run_estimator_ab(target_f1=AB_TARGET_F1, log=print, seeds=(1,)):
                 ep_s = max(time.time() - t0 - rtt, 0.0)
                 train_s += ep_s
                 rtt_s += rtt
+                ep_times.append(ep_s)
                 amt = tr.amt_data
                 _, _, micro, _, _ = tr.evaluate(ds.val_d)
                 traj.append(float(micro))
@@ -242,7 +246,17 @@ def run_estimator_ab(target_f1=AB_TARGET_F1, log=print, seeds=(1,)):
             hits_ep.append(hit_ep)
             hits_s.append(hit_s)
             hits_amt.append(hit_amt)
-            out[f"ab_{name}_fetch_rtt_s"] = round(rtt_s, 2)
+            rtts.append(round(rtt_s, 2))
+            # Steady-state protocol: each measured Trainer's FIRST epoch
+            # carries seconds of host-side tracing + buffer setup (e.g.
+            # Exact 32 s vs 9.5 s/epoch steady; CVD 7.5 vs 0.2) — one-time
+            # apparatus, excluded the same way the throughput bench
+            # excludes warmup.  seconds_to_target_steady = median
+            # steady-state epoch time x epochs_to_target; both protocols
+            # are reported.
+            if len(ep_times) > 1 and hit_ep is not None:
+                steady = float(np.median(ep_times[1:]))
+                hits_s_steady.append(round(steady * hit_ep, 2))
             bests.append(round(max(traj), 4))
             plateaus.append(round(float(np.mean(traj[-5:])), 4))
             epoch_s.append(round(train_s / max_epochs, 3))
@@ -252,8 +266,15 @@ def run_estimator_ab(target_f1=AB_TARGET_F1, log=print, seeds=(1,)):
                 out[f"ab_{name}_trajectory"] = [round(v, 4) for v in traj]
             del tr
         # headline keys = MEANS over seeds (backward-compatible names)
+        out[f"ab_{name}_fetch_rtt_s_per_seed"] = rtts
+        # seeds that never reach the band within the epoch budget: _mean
+        # silently averages the hitting subset, so surface the miss count
+        # (a nonzero value here means the *_to_target means cover fewer
+        # seeds than ab_seeds)
+        out[f"ab_{name}_target_misses"] = sum(h is None for h in hits_ep)
         out[f"ab_{name}_epochs_to_target"] = _mean(hits_ep)
         out[f"ab_{name}_seconds_to_target"] = _mean(hits_s)
+        out[f"ab_{name}_seconds_to_target_steady"] = _mean(hits_s_steady)
         out[f"ab_{name}_data_to_target"] = _mean(hits_amt)
         out[f"ab_{name}_best_micro_f1"] = _mean(bests)
         out[f"ab_{name}_plateau_micro_f1"] = _mean(plateaus)
@@ -265,16 +286,20 @@ def run_estimator_ab(target_f1=AB_TARGET_F1, log=print, seeds=(1,)):
             out[f"ab_{name}_plateau_micro_f1_per_seed"] = plateaus
             out[f"ab_{name}_seconds_to_target_std"] = _std(hits_s)
             out[f"ab_{name}_epochs_to_target_std"] = _std(hits_ep)
-    if out.get("ab_exact_seconds_to_target") and \
-            out.get("ab_cvdpp_seconds_to_target"):
-        out["ab_cvdpp_speedup_vs_exact"] = round(
-            out["ab_exact_seconds_to_target"]
-            / out["ab_cvdpp_seconds_to_target"], 2)
-    if out.get("ab_exact_seconds_to_target") and \
-            out.get("ab_cvpp_seconds_to_target"):
-        out["ab_cvpp_speedup_vs_exact"] = round(
-            out["ab_exact_seconds_to_target"]
-            / out["ab_cvpp_seconds_to_target"], 2)
+    # a 0.0 seconds_to_target is a degenerate measurement (RTT-clamped
+    # epochs), not a missing arm: guard on None and flag the degenerate
+    # case instead of silently dropping the key
+    for arm in ("cvdpp", "cvpp"):
+        for suffix in ("", "_steady"):
+            ex = out.get(f"ab_exact_seconds_to_target{suffix}")
+            s = out.get(f"ab_{arm}_seconds_to_target{suffix}")
+            if ex is None or s is None:
+                continue
+            if s <= 0.0 or ex <= 0.0:
+                out[f"ab_{arm}_speedup_vs_exact{suffix}"] = None
+                out["ab_degenerate_timing"] = True
+            else:
+                out[f"ab_{arm}_speedup_vs_exact{suffix}"] = round(ex / s, 2)
     return out
 
 
@@ -609,6 +634,8 @@ _KEY_PRIORITY = [
     "pallas_gather_ok", "convergence_epochs_to_target",
     "convergence_seconds_to_target", "convergence_best_micro_f1",
     "ab_cvdpp_speedup_vs_exact", "ab_cvpp_speedup_vs_exact",
+    "ab_cvdpp_speedup_vs_exact_steady", "ab_cvpp_speedup_vs_exact_steady",
+    "ab_exact_seconds_to_target_steady", "ab_cvdpp_seconds_to_target_steady",
     "ab_exact_seconds_to_target", "ab_cvpp_seconds_to_target",
     "ab_cvdpp_seconds_to_target", "ab_nspp_seconds_to_target",
     "ab_exact_epochs_to_target", "ab_cvpp_epochs_to_target",

@@ -326,7 +326,6 @@ def flat_csr(adj: sp.csr_matrix, edge_mult: float = 0.0,
                 "--fadj_edge_mult (or 0 = auto) for exact neighborhoods.",
                 stacklevel=2)
 
-    B = FlatGraph.BLOCK
     # block-aligned layout: row i owns blocks [bstart[i], bstart[i+1]).
     # Each partition carries a ceil(max_degree/B)-block sentinel tail so a
     # window from ANY of its rows (incl. the global sentinel row N, placed
@@ -351,17 +350,16 @@ def flat_csr(adj: sp.csr_matrix, edge_mult: float = 0.0,
     deg_out[:n] = deg
     idx = np.full(total_blocks * B, n, np.int32)
     w = np.zeros(total_blocks * B, np.float32)
-    # scatter each row's CSR entries to its aligned start
-    dst = (np.repeat(bstart[:n] * B, deg)
-           + np.arange(len(adj.indices), dtype=np.int64)
+    # scatter each row's CSR entries to its aligned start; ``off`` is each
+    # entry's position within its CSR row (reused by the renorm below)
+    off = (np.arange(len(adj.indices), dtype=np.int64)
            - np.repeat(adj.indptr[:n].astype(np.int64), deg))
+    dst = np.repeat(bstart[:n] * B, deg) + off
     idx[dst] = adj.indices.astype(np.int32)
     w[dst] = adj.data.astype(np.float32)
     # mass-preserving renorm for budget-truncated rows (see docstring)
     renorm = np.ones(n + 1, np.float32)
     if over.any():
-        off = (np.arange(len(adj.indices), dtype=np.int64)
-               - np.repeat(adj.indptr[:n].astype(np.int64), deg))
         row_ids = np.repeat(np.arange(n, dtype=np.int64), deg)
         wdat = adj.data.astype(np.float64)
         full_mass = np.bincount(row_ids, weights=wdat, minlength=n)

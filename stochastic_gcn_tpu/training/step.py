@@ -476,7 +476,11 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
                         owner_blocks=owner_blocks,
                         importance_rows=importance_rows,
                         dedup=cfg.field_dedup,
-                        is_slot_cap=cfg.is_slot_cap)
+                        # auto (-1) resolves to 0 on the EVAL path: the
+                        # lossy IS slot cap is calibrated on the training
+                        # step; inference keeps the reference's exact
+                        # keep-every-edge union semantics by default
+                        is_slot_cap=max(cfg.is_slot_cap, 0))
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = _labels_gather(labels, batch_field, mesh)
@@ -560,7 +564,8 @@ def make_eval_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
                         is_approx_topk=cfg.is_approx_topk,
                         is_recall_target=cfg.is_recall_target,
                         dedup=cfg.field_dedup,
-                        is_slot_cap=cfg.is_slot_cap)
+                        # eval: auto cap resolves to 0 (exact semantics)
+                        is_slot_cap=max(cfg.is_slot_cap, 0))
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = jnp.take(labels, batch_field, axis=0)
@@ -600,7 +605,8 @@ def make_activation_taps(cfg: Config, spec: M.ModelSpec,
                         is_approx_topk=cfg.is_approx_topk,
                         is_recall_target=cfg.is_recall_target,
                         dedup=cfg.field_dedup,
-                        is_slot_cap=cfg.is_slot_cap)
+                        is_slot_cap=cfg.is_slot_cap if train_mode
+                        else max(cfg.is_slot_cap, 0))
         taps = []
         M.forward(params, spec, pack, graph, histories, features, k_drop,
                   cfg.keep_prob, train=train_mode, taps=taps)
@@ -627,7 +633,8 @@ def make_pred_and_grad(cfg: Config, spec: M.ModelSpec,
                         is_approx_topk=cfg.is_approx_topk,
                         is_recall_target=cfg.is_recall_target,
                         dedup=cfg.field_dedup,
-                        is_slot_cap=cfg.is_slot_cap)
+                        is_slot_cap=cfg.is_slot_cap if train_mode
+                        else max(cfg.is_slot_cap, 0))
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = jnp.take(labels, batch_field, axis=0)

@@ -292,3 +292,40 @@ def test_flat_csr_auto_budget_and_renorm():
     g_full = flat_csr(adj, edge_mult=1000.0)
     np.testing.assert_array_equal(np.asarray(g_full.renorm),
                                   np.ones(n + 1, np.float32))
+
+
+def test_is_slot_cap_auto_resolves_to_exact_on_eval_paths(monkeypatch):
+    """is_slot_cap=-1 (auto) engages the lossy cap only on the TRAIN step;
+    eval/inference builders must resolve it to 0 (the reference's exact
+    keep-every-edge union semantics, scheduler.cpp:118-121) — the 2048/8
+    calibration was measured on the training step's fanout-gather bound,
+    not on inference."""
+    import numpy as np
+    from stochastic_gcn_tpu.config import Config
+    from stochastic_gcn_tpu.data.loaders import synthetic_dataset
+    from stochastic_gcn_tpu.training import step as S
+    from stochastic_gcn_tpu.training.loop import Trainer
+
+    real = S.schedule
+    caps = []
+
+    def spy(*a, **kw):
+        caps.append(kw.get("is_slot_cap"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(S, "schedule", spy)
+    ds = synthetic_dataset(num_nodes=96, feature_dim=8, num_classes=3,
+                           avg_degree=4, seed=0)
+    cfg = Config(dataset="synthetic", batch_size=2048, test_batch_size=2048,
+                 importance=True, test_importance=True, degree=1,
+                 test_degree=1, hidden1=8, dropout=0.0)
+    assert cfg.is_slot_cap == -1   # auto is the default under test
+    tr = Trainer(cfg, ds)
+
+    caps.clear()
+    tr.train_epoch()
+    assert caps and all(c == -1 for c in caps), caps   # auto -> schedule
+
+    caps.clear()
+    tr.evaluate(ds.val_d)
+    assert caps and all(c == 0 for c in caps), caps    # eval: exact
