@@ -103,12 +103,12 @@ class Config:
     is_approx_topk: bool = True
     is_recall_target: float = 0.95
     # IS: hoist importance[graph.nbr] into a per-epoch [N, Dcap] row table
-    # (one row-window gather per step instead of F*Dcap element gathers).
-    # End-to-end A/B on TPU v5 lite (233k-node graph): -0.36 ms/step at
-    # batch 4096 but +0.14 ms at batch 512 — the step is not bound by this
-    # gather, so the hoist only pays at large batch.  Costs a transient
-    # [N, Dcap] f32 (+50% of the padded graph's HBM) during IS epochs;
-    # default off, enable for batch >= ~2k.
+    # and route scheduling through the pre-fusion expand_importance flow.
+    # SUPERSEDED: the default fused is_slots path (one packed [N+1, 2]
+    # per-slot gather, scheduler.schedule) is the measured frontier
+    # (PERF.md "IS at Reddit scale"); this flag remains as the legacy
+    # comparison arm (scripts/profile_is_fused.py) and costs a transient
+    # [N, Dcap] f32 (+50% of the padded graph's HBM) when on.  Leave off.
     is_row_table: bool = False
     # IS: compact each [F, Dcap] slot row to its is_slot_cap highest-weight
     # SELECTED slots (scheduler.is_slot_compact) so the downstream fanout

@@ -216,8 +216,10 @@ def importance_row_table(graph, importance: jax.Array):
     of the IS path's per-slot importance lookup.  Inside the step the
     lookup is then F row-window gathers instead of F·Dcap scalar-issue
     element gathers.  Measured end-to-end on TPU v5 lite: -0.36 ms/step at
-    batch 4096, +0.14 ms at batch 512 (PERF.md "IS at Reddit scale") — only
-    pays at large batch, so off by default (--is_row_table).  Costs one
+    batch 4096, +0.14 ms at batch 512 vs the PRE-FUSION flow — since
+    superseded by the fused is_slots packed gather (the default path;
+    PERF.md "IS at Reddit scale"), so --is_row_table survives as the
+    legacy comparison arm (scripts/profile_is_fused.py).  Costs one
     transient [N, Dcap] f32 for the epoch (+50% of the padded graph's HBM).
     Padded-graph layout only (the edgelist path has no slot table)."""
     if not isinstance(graph, PaddedGraph):
