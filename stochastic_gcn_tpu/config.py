@@ -296,6 +296,17 @@ class Config:
     # Save a checkpoint every N epochs (0 = only at the end, reference
     # behavior). Adds preemption safety the reference lacks (SURVEY §5.4).
     ckpt_every: int = 0
+    # Profiling surface (§5.1): write a jax.profiler trace (XProf /
+    # TensorBoard `plugins/profile` format — device timeline, HLO op
+    # breakdown, memory viewer) of selected train epochs to this
+    # directory.  The functional analogue of the reference's per-epoch
+    # "TF time" accounting (gcn/train.py:203-207) with full op-level
+    # visibility.  Empty = off.
+    profile_dir: str = ""
+    # 1-based epoch numbers to trace (comma-separated).  Default traces
+    # epoch 2 only: epoch 1 is compile-dominated, and each traced epoch
+    # costs a trace file + host processing.
+    profile_epochs: str = "2"
 
     # -------- derived properties (mirror train.py:85-87) --------
     @property

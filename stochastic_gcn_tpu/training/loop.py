@@ -292,6 +292,19 @@ class Trainer:
                                               self.ds.num_data, self.cfg.dp)
         return self._batch_matrix(ids, batch_size, self.ds.num_data)
 
+    def _profile_this(self, epoch_1based: int) -> bool:
+        """--profile_dir: trace the epochs listed in --profile_epochs
+        (1-based, comma-separated) with jax.profiler (Config.profile_dir)."""
+        cfg = self.cfg
+        if not cfg.profile_dir:
+            return False
+        try:
+            wanted = {int(e) for e in str(cfg.profile_epochs).split(",")
+                      if str(e).strip()}
+        except ValueError:
+            return False
+        return epoch_1based in wanted
+
     def train_epoch(self):
         """One epoch as a single on-device scan (train.py:181-209 role).
 
@@ -435,7 +448,14 @@ class Trainer:
             return
         for epoch in range(max_epochs if max_epochs is not None
                            else 100000000):
-            train_loss, train_acc, ttime, _ = self.train_epoch()
+            if self._profile_this(epoch + 1):
+                import jax.profiler
+                with jax.profiler.trace(cfg.profile_dir):
+                    train_loss, train_acc, ttime, _ = self.train_epoch()
+                log(f"profiler trace of epoch {epoch + 1} written to "
+                    f"{cfg.profile_dir}")
+            else:
+                train_loss, train_acc, ttime, _ = self.train_epoch()
             cost, acc, micro, macro, duration = self.evaluate(self.ds.val_d)
             self.cost_val.append(cost)
             log(f"Epoch: {epoch + 1:04d} "

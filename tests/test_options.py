@@ -133,3 +133,23 @@ def test_sched_prepass_importance(ds):
         la, *_ = tr_a.train_epoch()
         lb, *_ = tr_b.train_epoch()
     assert la == lb
+
+
+def test_profile_dir_writes_trace(tmp_path, ds):
+    """--profile_dir: the selected epoch runs under jax.profiler.trace and
+    leaves an XProf/TensorBoard trace under plugins/profile (the §5.1
+    profiling surface; reference analogue is the per-epoch TF-time log,
+    gcn/train.py:203-207)."""
+    import glob
+    from stochastic_gcn_tpu.config import Config
+    from stochastic_gcn_tpu.training.loop import Trainer
+
+    cfg = Config(dataset="synthetic", batch_size=32, hidden1=8,
+                 dropout=0.0, seed=1, cv=True, test_cv=True, degree=1,
+                 test_degree=1, epochs=2, early_stopping=100,
+                 profile_dir=str(tmp_path / "prof"), profile_epochs="2")
+    tr = Trainer(cfg, ds)
+    tr.sgd_train(log=lambda *a, **k: None, max_epochs=3)
+    found = glob.glob(str(tmp_path / "prof" / "plugins" / "profile" /
+                          "*" / "*"))
+    assert found, "no profiler trace files written"
