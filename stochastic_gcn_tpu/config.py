@@ -77,8 +77,7 @@ class Config:
     # max degree of the graph (exact semantics).  For power-law graphs set to
     # e.g. 128; equivalent to the reference's --max_degree load-time subsample.
     pad_degree: int = -1
-    # Capacity multiplier for field compaction (safety headroom over the
-    # analytic bound min(F*(1+k), N)).
+    # Directory holding dataset files (the reference's data/ convention).
     data_dir: str = "data"
     # Storage dtype for the CV history buffers: 'bfloat16' (default —
     # halves HBM + gather traffic on the dominant full-neighborhood term,

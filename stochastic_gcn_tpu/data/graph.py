@@ -452,7 +452,8 @@ def graph_rows(graph, field: jax.Array, mesh=None):
         return flat_row_windows(graph, field, graph.pad_degree, mesh)
     from ..parallel.halo import halo_tiles, row_gather2
     if halo_tiles(graph.nbr, field, mesh):
-        rows_nbr, rows_w = row_gather2(graph.nbr, graph.w, field, mesh)
+        rows_nbr, rows_w = row_gather2(graph.nbr, graph.w, field, mesh,
+                                       sentinel=graph.num_nodes)
     else:
         rows_nbr = jnp.take(graph.nbr, field, axis=0)
         rows_w = jnp.take(graph.w, field, axis=0)

@@ -70,10 +70,14 @@ def full_neighborhood_mean_halo(hist: jax.Array, fnbr: jax.Array,
     return _owner_routed(hist, fnbr, (fw,), contract, mesh)
 
 
-def history_gather(hist: jax.Array, ids: jax.Array, mesh=None) -> jax.Array:
+def history_gather(hist: jax.Array, ids: jax.Array, mesh=None,
+                   sentinel: int = -1) -> jax.Array:
     """``h̄[ids]`` ([C, d]) from a possibly row-sharded history: routed from
-    owner chips when sharded (parallel/halo.py), plain gather otherwise."""
-    return row_gather(hist, ids, mesh)
+    owner chips when sharded (parallel/halo.py), plain gather otherwise.
+    ``sentinel``: pass the node count so sentinel-padded field ids are
+    served locally as zero rows instead of flooding row N's owner chip
+    (halo.py)."""
+    return row_gather(hist, ids, mesh, sentinel=sentinel)
 
 
 def full_neighborhood_mean(hist: jax.Array, graph: PaddedGraph,
@@ -355,11 +359,25 @@ def ema_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
     drivers but part of its op surface; provided for completeness.
 
     Z = alpha * Â_samp·H + (1-alpha) * h̄[field_out];  new history = Z.
+
+    The returned history follows the scatter contract of
+    ``scatter_histories`` (training/step.py): rows for the INPUT field
+    ([C_in, d], scattered at ``field_in``) — output-field nodes take the
+    new EMA value Z at their input-field positions, the rest rewrite
+    their current history value unchanged.  (The reference's own
+    EMAAggregator never reaches a session run, so this contract is ours.)
     """
     a_hat = fanout_gather(inputs, ls.slot_pos, ls.slot_w)
     hist_rows = jnp.take(history[0], _self_rows(field_in, ls), axis=0)
     a_nbr = a_hat * alpha + hist_rows * (1.0 - alpha)
-    return _self_concat(normalization, _self_rows(inputs, ls), a_nbr), (a_nbr,)
+    base = jnp.take(history[0], field_in, axis=0).astype(a_nbr.dtype)
+    if ls.self_pos is None:
+        new_hist = jnp.concatenate(
+            [a_nbr, base[a_nbr.shape[0]:]], axis=0)
+    else:
+        new_hist = base.at[ls.self_pos].set(a_nbr)
+    return (_self_concat(normalization, _self_rows(inputs, ls), a_nbr),
+            (new_hist,))
 
 
 def _self_concat(normalization: str, self_part, nbr_part):
@@ -423,7 +441,7 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
     if cvd:
         h, mu = inputs
         mu_small = history_gather(_anchor(history, lazy_l, 0), field_in,
-                                  mesh)                  # h̄ on in-field
+                                  mesh, graph.num_nodes)  # h̄ on in-field
         z = h - mu
         delta_mu = mu - mu_small
         mu_mean = _full_term(history, lazy_l, 0, graph, field_out,
@@ -446,10 +464,11 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
         mu, var = inputs
 
         delta_mu = mu - history_gather(_anchor(history, lazy_l, 0),
-                                       field_in, mesh)
+                                       field_in, mesh, graph.num_nodes)
         sigma = jnp.sqrt(var)
         sigma_bar = jnp.sqrt(history_gather(_anchor(history, lazy_l, 1),
-                                            field_in, mesh))
+                                            field_in, mesh,
+                                            graph.num_nodes))
         delta_sigma = sigma - sigma_bar
         msigma = delta_sigma * sigma_bar
 
@@ -479,7 +498,7 @@ def vr_aggregate(inputs, ls: LayerSample, field_in: jax.Array,
     # (the reference computes Â·H - Â·h̄ as two SpMMs; fused here — same
     # linear algebra, half the gather traffic)
     delta = inputs - history_gather(_anchor(history, lazy_l, 0),
-                                    field_in, mesh)
+                                    field_in, mesh, graph.num_nodes)
     a_neighbour = fanout_gather(delta, ls.slot_pos, ls.slot_w, mesh) \
         + _full_term(history, lazy_l, 0, graph, field_out,
                      use_pallas=use_pallas, mesh=mesh)

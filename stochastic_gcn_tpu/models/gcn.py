@@ -238,7 +238,8 @@ def init_histories(spec: ModelSpec, num_nodes: int, row_multiple: int = 8,
 
 # ----------------------------- forward ------------------------------------
 
-def _slice_inputs(features, field0: jax.Array, mesh=None):
+def _slice_inputs(features, field0: jax.Array, mesh=None,
+                  num_nodes: int = -1):
     """Gather the layer-0 field's feature rows (the functional form of the
     reference's host-side slice/dense_slice, gcn/vrgcn.py:39-47).
 
@@ -247,11 +248,12 @@ def _slice_inputs(features, field0: jax.Array, mesh=None):
     from ..parallel.halo import halo_tiles, row_gather, row_gather2
     if isinstance(features, PaddedSparseFeatures):
         if halo_tiles(features.idx, field0, mesh):
-            idx, val = row_gather2(features.idx, features.val, field0, mesh)
+            idx, val = row_gather2(features.idx, features.val, field0, mesh,
+                                   sentinel=num_nodes)
         else:
             idx, val = features.idx[field0], features.val[field0]
         return PaddedSparseFeatures(idx=idx, val=val, dim=features.dim)
-    return row_gather(features, field0, mesh)
+    return row_gather(features, field0, mesh, sentinel=num_nodes)
 
 
 def _tap(taps, label, h):
@@ -291,7 +293,8 @@ def forward(params: dict, spec: ModelSpec, pack: BatchFields,
     reference's per-step full term.
     """
     kp = keep_prob if train else 1.0
-    h = _slice_inputs(features, pack.fields[0], mesh)
+    h = _slice_inputs(features, pack.fields[0], mesh,
+                      num_nodes=graph.num_nodes if graph is not None else -1)
     if spec.reverse_input_dropout and train:
         # --reverse applies dropout directly to the sliced input features
         # (reference does this host-side: gcn/plaingcn.py:30-38)

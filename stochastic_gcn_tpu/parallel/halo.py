@@ -140,7 +140,7 @@ def owner_routed(table: jax.Array, ids: jax.Array, extras, partial_fn, mesh):
 
 
 def _fetch_or_psum_gather(table: jax.Array, ids: jax.Array,
-                          mesh) -> jax.Array:
+                          mesh, sentinel: int = -1) -> jax.Array:
     """``table[ids]`` over a row-sharded table: fetch-routed transport with
     an in-graph exact psum fallback.
 
@@ -153,6 +153,16 @@ def _fetch_or_psum_gather(table: jax.Array, ids: jax.Array,
     the fetched result and the locality-blind all-gather+psum_scatter
     path, keeping the gather EXACT for arbitrarily skewed requests.
     ``ids`` may contain duplicates and sentinel rows; 1-D ids only.
+
+    ``sentinel >= 0``: ids >= sentinel (the node-id space's parked/empty
+    marker, id N of an [N+1]-row table) are satisfied LOCALLY with zero
+    rows instead of being routed to the chip that owns row N — without
+    this, every chip's sentinel-padded request slots all target ONE
+    destination and can blow the static per-destination capacity,
+    forcing the psum fallback on perfectly local batches.  Zero is the
+    row's true value on the sharded path (row_scatter skips sentinel
+    writes), and every downstream read of sentinel rows is weight-masked
+    by construction (training/step.py::scatter_histories docstring).
     """
     mesh, gcap = _unwrap(mesh)
     axis = mesh.axis_names[0]
@@ -167,12 +177,15 @@ def _fetch_or_psum_gather(table: jax.Array, ids: jax.Array,
 
     def body(t_loc, ids_loc):
         me = jax.lax.axis_index(axis)
-        safe = jnp.minimum(ids_loc.astype(jnp.int32), r_tot - 1)
+        ids32 = ids_loc.astype(jnp.int32)
+        safe = jnp.minimum(ids32, r_tot - 1)
+        sent = (ids32 >= sentinel) if sentinel >= 0 \
+            else jnp.zeros(ids32.shape, bool)
         owner = safe // n_loc
-        mine = owner == me
-        # bucket remote requests by owner (self rows parked past every
-        # destination, exactly like row_scatter)
-        owner_r = jnp.where(mine, p, owner)
+        mine = (owner == me) & ~sent
+        # bucket remote requests by owner (self + sentinel rows parked
+        # past every destination, exactly like row_scatter)
+        owner_r = jnp.where(mine | sent, p, owner)
         order = jnp.argsort(owner_r)
         so = jnp.take(owner_r, order)
         dests = jnp.arange(p, dtype=so.dtype)
@@ -200,7 +213,8 @@ def _fetch_or_psum_gather(table: jax.Array, ids: jax.Array,
         rows = jnp.where(ok[:, None], rows, 0)
         rep = jax.lax.all_to_all(rows.reshape(p, cap, d), axis, 0, 0,
                                  tiled=True)
-        # self rows locally, remote rows into their recorded positions
+        # self rows locally, sentinel rows zero, remote rows into their
+        # recorded positions
         self_loc = jnp.where(mine, safe - me * n_loc, 0)
         fetched = jnp.where(mine[:, None],
                             jnp.take(t_loc, self_loc, axis=0), 0)
@@ -208,7 +222,8 @@ def _fetch_or_psum_gather(table: jax.Array, ids: jax.Array,
                                                   mode="drop")
 
         def psum_path(_):
-            ids_all = jax.lax.all_gather(safe, axis)         # [P, F/P]
+            ids_all = jax.lax.all_gather(
+                jnp.where(sent, r_tot, safe), axis)          # [P, F/P]
             loc_a = ids_all - me * n_loc
             ok_a = (loc_a >= 0) & (loc_a < n_loc)
             rows_a = jnp.take(t_loc, jnp.clip(loc_a, 0, n_loc - 1), axis=0)
@@ -224,7 +239,8 @@ def _fetch_or_psum_gather(table: jax.Array, ids: jax.Array,
     return out.reshape(ids.shape[:1] + table.shape[1:])
 
 
-def row_gather(table: jax.Array, ids: jax.Array, mesh=None) -> jax.Array:
+def row_gather(table: jax.Array, ids: jax.Array, mesh=None,
+               sentinel: int = -1) -> jax.Array:
     """``table[ids]`` from a row-sharded table, dtype preserved.
 
     Fetch-routed (see :func:`_fetch_or_psum_gather`): self rows are local,
@@ -238,7 +254,7 @@ def row_gather(table: jax.Array, ids: jax.Array, mesh=None) -> jax.Array:
 
     if FETCH_GATHER and ids.ndim == 1 \
             and ids.shape[0] >= data_axis_size(mesh):
-        return _fetch_or_psum_gather(table, ids, mesh)
+        return _fetch_or_psum_gather(table, ids, mesh, sentinel=sentinel)
 
     dt = table.dtype
 
@@ -251,7 +267,7 @@ def row_gather(table: jax.Array, ids: jax.Array, mesh=None) -> jax.Array:
 
 
 def row_gather2(table_i: jax.Array, table_f: jax.Array, ids: jax.Array,
-                mesh=None):
+                mesh=None, sentinel: int = -1):
     """Gather the same rows from an int32 table and a float32 table of
     identical shape (e.g. a PaddedGraph's ``nbr``/``w``, or sparse-feature
     ``idx``/``val``) in ONE exchange: the int table is value-cast to
@@ -268,7 +284,8 @@ def row_gather2(table_i: jax.Array, table_f: jax.Array, ids: jax.Array,
         stacked = jnp.stack(
             [table_i.astype(jnp.float32),
              table_f.astype(jnp.float32)], axis=1)
-        out = _fetch_or_psum_gather(stacked, ids, mesh)      # [F, 2, k]
+        out = _fetch_or_psum_gather(stacked, ids, mesh,
+                                    sentinel=sentinel)       # [F, 2, k]
         return out[:, 0].astype(table_i.dtype), out[:, 1]
 
     stacked = jnp.stack(
@@ -296,7 +313,7 @@ def scatter_capacity(c: int, p: int, cap_mult: float) -> int:
 
 
 def row_scatter(table: jax.Array, ids: jax.Array, rows: jax.Array,
-                mesh=None, cap_mult: float = 2.0):
+                mesh=None, cap_mult: float = 2.0, sentinel: int = -1):
     """``table.at[ids].set(rows)`` onto a row-sharded table, owner-routed.
 
     Returns ``(table', dropped)`` where ``dropped`` counts update rows that
@@ -332,16 +349,28 @@ def row_scatter(table: jax.Array, ids: jax.Array, rows: jax.Array,
 
     def body(t_loc, ids_loc, rows_loc):
         me = jax.lax.axis_index(axis)
-        safe = jnp.minimum(ids_loc.astype(jnp.int32), r_tot - 1)
+        ids32 = ids_loc.astype(jnp.int32)
+        safe = jnp.minimum(ids32, r_tot - 1)
+        # sentinel >= 0: updates at ids >= sentinel (the parked/empty
+        # marker, id N) are SKIPPED outright instead of being routed to
+        # row N's owner chip — the single-chip path writes garbage into
+        # row N because that is cheaper than masking (see
+        # scatter_histories), but on the mesh those rows would all
+        # target ONE destination chip and its static capacity, evicting
+        # REAL updates into the dropped count.  Row N's content is
+        # garbage-tolerated either way.
+        sent = (ids32 >= sentinel) if sentinel >= 0 \
+            else jnp.zeros(ids32.shape, bool)
         owner = safe // n_loc
-        mine = owner == me
+        mine = (owner == me) & ~sent
         # self rows: local scatter, never capacity-bounded or dropped
         tgt_self = jnp.where(mine, safe - me * n_loc, n_loc)
         t_loc = t_loc.at[tgt_self].set(rows_loc.astype(t_loc.dtype),
                                        mode="drop")
-        # remote rows ride the all_to_all; push self rows past every
-        # destination so the owner-sort parks them outside [starts, ends)
-        owner = jnp.where(mine, p, owner)
+        # remote rows ride the all_to_all; push self + sentinel rows past
+        # every destination so the owner-sort parks them outside
+        # [starts, ends)
+        owner = jnp.where(mine | sent, p, owner)
         order = jnp.argsort(owner)
         sids = jnp.take(safe, order)
         srows = jnp.take(rows_loc, order, axis=0)

@@ -354,7 +354,8 @@ def expand_importance(key: jax.Array, graph: PaddedGraph,
         # per-epoch [N+1, Dcap] row table (importance_row_table): one
         # row-window gather instead of F*Dcap element gathers
         from ..parallel.halo import row_gather
-        imp_nbr = row_gather(importance_rows, field_out, mesh)
+        imp_nbr = row_gather(importance_rows, field_out, mesh,
+                             sentinel=graph.num_nodes)
     else:
         imp_nbr = importance[sel.rows_nbr]
     inv = sel.total_imp / (imp_nbr * jnp.maximum(sel.n_samples, 1.0))

@@ -323,7 +323,12 @@ class Trainer:
         # CUMULATIVE over the whole run (reference vrgcn.py:62 `+=`,
         # models.py:347 init-once): the data-budget stop and the epoch
         # log's `data =` column both read the running total
-        self.amt_data += int(metrics["amt_data"])
+        amt_steps = metrics.get("amt_steps")
+        if amt_steps is not None:   # int64 host sum — int32 epoch totals
+            self.amt_data += int(np.asarray(amt_steps)
+                                 .astype(np.int64).sum())
+        else:
+            self.amt_data += int(metrics["amt_data"])
         self._record_epoch_stats(metrics, time.time() - t0)
         return loss, acc, time.time() - t0, bm.shape[0]
 

@@ -71,10 +71,14 @@ def scatter_histories(histories, new_histories, fields, num_nodes: int,
     (gcn/models.py:160-166).  Fields are unique per layer (compaction), so
     the scatter is deterministic.
 
-    Sentinel-padded field entries write garbage into row N, which is safe:
-    every read of row N downstream is either masked by a zero edge weight
-    (full-neighborhood term) or feeds rows whose contributions are masked
-    (delta term), so no reset scatter is spent on it.
+    Sentinel-padded field entries write garbage into row N on the
+    single-chip path, which is safe: every read of row N downstream is
+    either masked by a zero edge weight (full-neighborhood term) or feeds
+    rows whose contributions are masked (delta term), so no reset scatter
+    is spent on it.  On a mesh the sentinel writes are SKIPPED instead
+    (row_scatter ``sentinel=``): routed, they would all target row N's
+    owner chip and evict real updates from its static capacity
+    (parallel/halo.py).
 
     With a mesh and row-sharded histories the update rows are routed to
     their owner chips point-to-point (parallel/halo.py::row_scatter)
@@ -118,7 +122,8 @@ def scatter_histories(histories, new_histories, fields, num_nodes: int,
         for h, nh in zip(hist_l, new_l):
             if mesh is not None:
                 h, drop = row_scatter(h, field_l, nh, mesh,
-                                      scatter_cap_mult)
+                                      scatter_cap_mult,
+                                      sentinel=num_nodes)
                 dropped = dropped + drop
             elif unique and field_l.shape[0] >= SORTED_SCATTER_MIN_ROWS:
                 h = _segment_sorted_scatter(h, field_l, nh, bounds)
@@ -170,10 +175,12 @@ def _segment_sorted_scatter(h, ids, rows, bounds):
     return h
 
 
-def _labels_gather(labels, batch_field, mesh=None):
-    """labels[batch_field] — owner-routed when labels are node-sharded."""
+def _labels_gather(labels, batch_field, mesh=None, num_nodes: int = -1):
+    """labels[batch_field] — owner-routed when labels are node-sharded;
+    sentinel-padded batch slots are served locally as zero rows (their
+    loss/accuracy contributions are masked by ``valid``)."""
     from ..parallel.halo import row_gather
-    return row_gather(labels, batch_field, mesh)
+    return row_gather(labels, batch_field, mesh, sentinel=num_nodes)
 
 
 def _batch_stats(pack: BatchFields, graph, num_nodes: int, cv: bool):
@@ -242,7 +249,7 @@ def build_train_step(cfg: Config, spec: M.ModelSpec,
                         is_slot_cap=cfg.is_slot_cap)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
-        y = _labels_gather(labels, batch_field, mesh)
+        y = _labels_gather(labels, batch_field, mesh, num_nodes)
 
         def loss_fn(params):
             logits, new_h = M.forward(
@@ -427,6 +434,15 @@ def build_train_epoch(cfg: Config, spec: M.ModelSpec,
                 isdrops) = jax.lax.scan(
             body, state, (batch_matrix, packs), unroll=cfg.scan_unroll)
         return state, {"loss": losses[-1], "accuracy": accs[-1],
+                       # amt_data: device-summed int32 (kept for the
+                       # profile scripts' value-fetch sync).  At Reddit+
+                       # scale an epoch's edge count can exceed 2^31, so
+                       # amt_steps carries the per-step vector and the
+                       # Trainer accumulates it host-side in int64 (the
+                       # reference accumulates in Python ints,
+                       # vrgcn.py:62) — the --data budget and the `data =`
+                       # log column never wrap.
+                       "amt_steps": amts,
                        "amt_data": jnp.sum(amts),
                        "field_sizes": jnp.sum(fs, axis=0),
                        "adj_sizes": jnp.sum(adjs, axis=0),
@@ -441,6 +457,37 @@ def make_train_epoch(cfg: Config, spec: M.ModelSpec,
                      degrees: Tuple[int, ...], num_nodes: int):
     return jax.jit(build_train_epoch(cfg, spec, degrees, num_nodes),
                    donate_argnums=(0,))
+
+
+def _eval_schedule(cfg: Config, spec, degrees, num_nodes: int, graph,
+                   importance, batch_ids, key, use_importance: bool,
+                   mesh=None, owner_blocks: int = 0, importance_rows=None):
+    """Shared schedule + field-layout contract for every EVAL-side builder
+    (epoch eval, step eval, activation taps, pred-and-grad) — one place
+    for the eval sampling semantics, so the builders cannot drift.
+
+    Notably: is_slot_cap auto (-1) resolves to 0 here — the lossy IS slot
+    cap is calibrated on the training step; inference keeps the
+    reference's exact keep-every-edge union semantics by default
+    (scheduler.cpp:118-121).  Returns (pack, unique_fields, dropout key).
+    """
+    from ..sampler.scheduler import effective_dedup
+    unique_fields = effective_dedup(
+        cfg.field_dedup, batch_ids.shape[0], degrees, num_nodes,
+        graph.pad_degree, importance=use_importance, mesh=mesh,
+        owner_blocks=owner_blocks)
+    k_sched, k_drop = jax.random.split(key)
+    pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
+                    need_aw=spec.det_dropout,
+                    importance=importance if use_importance else None,
+                    round_multiple=cfg.dp, mesh=mesh,
+                    is_approx_topk=cfg.is_approx_topk,
+                    is_recall_target=cfg.is_recall_target,
+                    owner_blocks=owner_blocks,
+                    importance_rows=importance_rows,
+                    dedup=cfg.field_dedup,
+                    is_slot_cap=max(cfg.is_slot_cap, 0))
+    return pack, unique_fields, k_drop
 
 
 def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
@@ -461,29 +508,13 @@ def build_eval_epoch(cfg: Config, spec: M.ModelSpec,
 
     def _eval_one(params, histories, graph, features, labels, importance,
                   batch_ids, key, importance_rows=None):
-        from ..sampler.scheduler import effective_dedup
-        unique_fields = effective_dedup(
-            cfg.field_dedup, batch_ids.shape[0], degrees, num_nodes,
-            graph.pad_degree, importance=use_importance, mesh=mesh,
-            owner_blocks=owner_blocks)
-        k_sched, k_drop = jax.random.split(key)
-        pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
-                        need_aw=spec.det_dropout,
-                        importance=importance if use_importance else None,
-                        round_multiple=cfg.dp, mesh=mesh,
-                        is_approx_topk=cfg.is_approx_topk,
-                        is_recall_target=cfg.is_recall_target,
-                        owner_blocks=owner_blocks,
-                        importance_rows=importance_rows,
-                        dedup=cfg.field_dedup,
-                        # auto (-1) resolves to 0 on the EVAL path: the
-                        # lossy IS slot cap is calibrated on the training
-                        # step; inference keeps the reference's exact
-                        # keep-every-edge union semantics by default
-                        is_slot_cap=max(cfg.is_slot_cap, 0))
+        pack, unique_fields, k_drop = _eval_schedule(
+            cfg, spec, degrees, num_nodes, graph, importance, batch_ids,
+            key, use_importance, mesh=mesh, owner_blocks=owner_blocks,
+            importance_rows=importance_rows)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
-        y = _labels_gather(labels, batch_field, mesh)
+        y = _labels_gather(labels, batch_field, mesh, num_nodes)
         logits, new_h = M.forward(params, spec, pack, graph, histories,
                                   features, k_drop, cfg.keep_prob,
                                   train=False, mesh=mesh)
@@ -552,20 +583,9 @@ def make_eval_step(cfg: Config, spec: M.ModelSpec, degrees: Tuple[int, ...],
 
     def _eval(params, histories, graph: PaddedGraph, features, labels,
               importance, batch_ids, key):
-        from ..sampler.scheduler import effective_dedup
-        unique_fields = effective_dedup(
-            cfg.field_dedup, batch_ids.shape[0], degrees, num_nodes,
-            graph.pad_degree, importance=use_importance)
-        k_sched, k_drop = jax.random.split(key)
-        pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
-                        need_aw=spec.det_dropout,
-                        importance=importance if use_importance else None,
-                        round_multiple=cfg.dp,
-                        is_approx_topk=cfg.is_approx_topk,
-                        is_recall_target=cfg.is_recall_target,
-                        dedup=cfg.field_dedup,
-                        # eval: auto cap resolves to 0 (exact semantics)
-                        is_slot_cap=max(cfg.is_slot_cap, 0))
+        pack, unique_fields, k_drop = _eval_schedule(
+            cfg, spec, degrees, num_nodes, graph, importance, batch_ids,
+            key, use_importance)
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
         y = jnp.take(labels, batch_field, axis=0)

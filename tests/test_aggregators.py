@@ -114,7 +114,14 @@ def test_ema_aggregate(setup):
         np.asarray(pack.fields[0])[:len(f_out)]]
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4,
                                atol=1e-5)
-    np.testing.assert_allclose(np.asarray(new_h[0]), expect, rtol=1e-5)
+    # new history follows the scatter contract: [C_in, d] rows for
+    # field_in — Z at the output-field prefix, preserved history after
+    f_in = np.asarray(pack.fields[0])
+    assert new_h[0].shape[0] == c_in
+    np.testing.assert_allclose(np.asarray(new_h[0])[:len(f_out)], expect,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_h[0])[len(f_out):],
+                               hist[f_in[len(f_out):]], rtol=1e-6)
 
 
 def test_full_neighborhood_mean(setup):
@@ -161,8 +168,10 @@ def test_ema_aggregate_matches_formula(setup):
     expect = alpha * (dense @ h) + (1 - alpha) * hist[field_out]
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4,
                                atol=1e-5)
-    np.testing.assert_allclose(np.asarray(new_h), expect, rtol=1e-4,
-                               atol=1e-5)
+    # scatter-contract shape: Z at the output-field prefix of field_in
+    assert new_h.shape[0] == c_in
+    np.testing.assert_allclose(np.asarray(new_h)[:f_out], expect,
+                               rtol=1e-4, atol=1e-5)
     # graphsage norm concatenates the self rows
     out2, _ = A.ema_aggregate(jnp.asarray(h), pack.layers[0],
                               pack.fields[0], (jnp.asarray(hist),),

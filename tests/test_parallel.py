@@ -685,3 +685,53 @@ def test_trainer_dp_nodedup_trains(setup):
     assert np.isfinite(loss) and loss < loss0 * 1.5
     ev = tr.evaluate(ds.val_d)
     assert np.isfinite(ev[0])
+
+
+def test_sentinel_rows_bypass_transport_capacity():
+    """Sentinel-padded ids (id == N) must not be routed to the chip that
+    owns row N: without the sentinel bypass every chip's padding slots
+    all target ONE destination, blow its static per-destination capacity,
+    and evict REAL history updates into the dropped count (scatter) or
+    force the psum fallback (gather).  With sentinel= passed, a
+    sentinel-heavy batch scatters with zero drops and gathers real rows
+    exactly (sentinel positions come back zero — their true sharded-path
+    value, since sentinel writes are skipped)."""
+    from stochastic_gcn_tpu.parallel.halo import row_gather, row_scatter
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(7)
+    n = 64 * n_dev - 1                      # real nodes; row N = sentinel
+    r, d = n + 1, 4
+    c = 32 * n_dev
+    c_loc = c // n_dev
+    table = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32))
+
+    # every chip: 75% sentinel ids, 25% rows it owns itself
+    n_loc = r // n_dev
+    ids = np.concatenate([
+        np.concatenate([q * n_loc + rng.permutation(n_loc)[:c_loc // 4],
+                        np.full(c_loc - c_loc // 4, n, np.int64)])
+        for q in range(n_dev)])
+    ids = jnp.asarray(ids, dtype=jnp.int32)
+    rows = jnp.asarray(rng.normal(size=(c, d)).astype(np.float32))
+
+    # scatter: tiny capacity would drop the sentinel flood if routed
+    out, dropped = jax.jit(
+        lambda t, i, x: row_scatter(t, i, x, mesh, cap_mult=0.01,
+                                    sentinel=n))(table, ids, rows)
+    assert int(dropped) == 0
+    real = np.asarray(ids) < n
+    np.testing.assert_allclose(
+        np.asarray(out)[np.asarray(ids)[real]],
+        np.asarray(rows)[real], rtol=1e-6)
+    # row N untouched (sentinel writes skipped on the sharded path)
+    np.testing.assert_allclose(np.asarray(out)[n], np.asarray(table)[n],
+                               rtol=1e-6)
+
+    # gather: real rows exact, sentinel rows zero, no capacity pressure
+    got = jax.jit(
+        lambda t, i: row_gather(t, i, mesh, sentinel=n))(table, ids)
+    np.testing.assert_allclose(np.asarray(got)[real],
+                               np.asarray(table)[np.asarray(ids)[real]],
+                               rtol=1e-6)
+    assert np.abs(np.asarray(got)[~real]).max() == 0.0
