@@ -735,3 +735,33 @@ def test_sentinel_rows_bypass_transport_capacity():
                                np.asarray(table)[np.asarray(ids)[real]],
                                rtol=1e-6)
     assert np.abs(np.asarray(got)[~real]).max() == 0.0
+
+
+def test_sentinel_gather_exact_under_psum_fallback():
+    """When REAL skewed requests overflow the fetch capacity, the psum
+    fallback must also serve sentinel ids as zero rows (they are excluded
+    from every chip's contribution) while keeping real rows exact."""
+    from stochastic_gcn_tpu.parallel.halo import row_gather
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    rng = np.random.default_rng(11)
+    n = 32 * n_dev - 1
+    r, d = n + 1, 4
+    c = 64 * n_dev
+    c_loc = c // n_dev
+    table = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32))
+    # every chip asks mostly for chip 0's rows (guaranteed remote skew ->
+    # capacity overflow -> psum fallback), plus some sentinels
+    n_loc = r // n_dev
+    ids = np.concatenate([
+        np.concatenate([rng.integers(0, n_loc, c_loc - 8),
+                        np.full(8, n, np.int64)])
+        for _ in range(n_dev)])
+    ids = jnp.asarray(ids, dtype=jnp.int32)
+    got = jax.jit(lambda t, i: row_gather(t, i, mesh, sentinel=n))(table,
+                                                                   ids)
+    real = np.asarray(ids) < n
+    np.testing.assert_allclose(np.asarray(got)[real],
+                               np.asarray(table)[np.asarray(ids)[real]],
+                               rtol=1e-6)
+    assert np.abs(np.asarray(got)[~real]).max() == 0.0
