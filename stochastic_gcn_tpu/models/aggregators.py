@@ -53,7 +53,11 @@ def fanout_gather(x: jax.Array, slot_pos: jax.Array,
     which differentiates exactly: gather/scatter transpose locally,
     all_to_all is its own transpose) moves only the spill rows.
     """
-    g = row_gather(x, slot_pos.reshape(-1), mesh)       # [F*k, d]
+    # sentinel=C: weight-masked slots are PARKED at positions >= C
+    # (scheduler.PARKED_POS) and served locally as zero rows instead of
+    # flooding one chip's request capacity
+    g = row_gather(x, slot_pos.reshape(-1), mesh,
+                   sentinel=x.shape[0])                 # [F*k, d]
     return jnp.einsum("fk,fkd->fd", slot_w,
                       g.reshape(slot_pos.shape + x.shape[1:]))
 
@@ -398,7 +402,7 @@ def _self_rows(x: jax.Array, ls: LayerSample, mesh=None) -> jax.Array:
     GSPMD lowering all-reduces the full [F, d] result."""
     if ls.self_pos is None:
         return x[:ls.slot_pos.shape[0]]
-    return row_gather(x, ls.self_pos, mesh)
+    return row_gather(x, ls.self_pos, mesh, sentinel=x.shape[0])
 
 
 def plain_aggregate(inputs, ls: LayerSample, normalization: str, mesh=None):

@@ -250,7 +250,17 @@ def row_gather(table: jax.Array, ids: jax.Array, mesh=None,
     node counts < 2^24 keep int32 ids exactly representable; exactly one
     chip contributes each row, so the sum is the row itself)."""
     if not halo_tiles(table, ids, mesh):
-        return jnp.take(table, ids, axis=0)
+        out = jnp.take(table, ids, axis=0)
+        if sentinel >= 0:
+            # parked ids (>= sentinel, e.g. scheduler.PARKED_POS slots)
+            # must come back ZERO, not a clamped read of the last row:
+            # weight-0 masking of the contraction only works when the
+            # gathered value is finite, and the last row can be e.g. a
+            # layer-normed all-zero sentinel activation (0 * inf = NaN)
+            m = (ids >= sentinel).reshape(
+                ids.shape + (1,) * (out.ndim - ids.ndim))
+            out = jnp.where(m, 0, out)
+        return out
 
     if FETCH_GATHER and ids.ndim == 1 \
             and ids.shape[0] >= data_axis_size(mesh):
@@ -276,8 +286,14 @@ def row_gather2(table_i: jax.Array, table_f: jax.Array, ids: jax.Array,
     flush to zero on TPU), stacked with the float table, and the pair
     rides a single fetch-routed gather."""
     if not halo_tiles(table_i, ids, mesh):
-        return (jnp.take(table_i, ids, axis=0),
-                jnp.take(table_f, ids, axis=0))
+        out_i = jnp.take(table_i, ids, axis=0)
+        out_f = jnp.take(table_f, ids, axis=0)
+        if sentinel >= 0:
+            m = (ids >= sentinel).reshape(
+                ids.shape + (1,) * (out_i.ndim - ids.ndim))
+            out_i = jnp.where(m, 0, out_i)
+            out_f = jnp.where(m, 0, out_f)
+        return out_i, out_f
 
     if FETCH_GATHER and ids.ndim == 1 \
             and ids.shape[0] >= data_axis_size(mesh):

@@ -42,6 +42,17 @@ import jax.numpy as jnp
 from ..data.graph import FlatGraph, PaddedGraph, graph_rows
 
 
+# Parked position for weight-masked slots (sentinel-neighbor pads,
+# unselected IS slots): any value >= the field capacity.  The halo fetch
+# transport serves positions >= its sentinel locally as zero rows
+# (parallel/halo.py) — without parking, every chip's masked slots would
+# all point at ONE real position (0, or pos_table[N]) and flood that
+# position's owner chip's static request capacity.  Single-chip gathers
+# clamp it to the last row, which the zero slot weight masks exactly as
+# before.
+PARKED_POS = 1 << 30
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class LayerSample:
@@ -306,9 +317,11 @@ def is_slots(sel: ISSelection, importance: jax.Array,
     pos = jax.lax.bitcast_convert_type(got[..., 1], jnp.int32)
     tgt_sel = (inv > 0.0) & sel.valid
     slot_w = jnp.where(tgt_sel, sel.rows_w * inv, 0.0)
-    # unselected slots' positions are only ever dereferenced under the
-    # weight-0 mask; 0 keeps them in-range for the halo fetch transport
-    slot_pos = jnp.where(tgt_sel, pos, 0)
+    # weight-masked slots' positions are only ever dereferenced under the
+    # weight-0 mask; PARKED_POS keeps them off the halo fetch transport
+    # (criterion slot_w == 0, matching the legacy expand_importance path
+    # bit-for-bit — test_importance_row_table_equivalent)
+    slot_pos = jnp.where(slot_w != 0.0, pos, PARKED_POS)
     return slot_pos, slot_w
 
 
@@ -644,15 +657,22 @@ def schedule(key: jax.Array, graph: PaddedGraph, batch_ids: jax.Array,
         if owner_blocks > 1:
             field_in, pos_table = compact_field_aligned(field, cand, n, cap,
                                                         owner_blocks)
-            self_pos = pos_table[field]
-            slot_pos = None if sel is not None else pos_table[nbr_id]
+            # sentinel field entries park off the transport (their output
+            # rows are masked downstream) instead of pointing at
+            # pos_table[N]
+            self_pos = jnp.where(field < n, pos_table[field], PARKED_POS)
+            slot_pos = None if sel is not None else jnp.where(
+                slot_w != 0.0, pos_table[nbr_id], PARKED_POS)
         elif not dedup:
             field_in, slot_pos = append_field(field, cand, n, cap)
             self_pos = None
         else:
             field_in, pos_table = compact_field(field, cand, n, cap)
             self_pos = None
-            slot_pos = None if sel is not None else pos_table[nbr_id]
+            # weight-masked slots (sentinel-neighbor pads) park off the
+            # transport instead of all pointing at pos_table[N]
+            slot_pos = None if sel is not None else jnp.where(
+                slot_w != 0.0, pos_table[nbr_id], PARKED_POS)
         if sel is not None:
             slot_pos, slot_w = is_slots(sel, importance, pos_table)
         if importance is not None and is_slot_cap:

@@ -349,9 +349,12 @@ def test_importance_row_table_equivalent(small):
         live = w0 != 0
         np.testing.assert_array_equal(np.asarray(l0.slot_pos)[live],
                                       np.asarray(l1.slot_pos)[live])
-        # fused weight-0 positions are pinned in-range for halo transport
-        assert (np.asarray(l0.slot_pos) >= 0).all()
-        assert (np.asarray(l0.slot_pos) < p0.fields[0].shape[0]).all()
+        # weight-0 positions are PARKED off the halo transport (served
+        # as zero rows; scheduler.PARKED_POS)
+        from stochastic_gcn_tpu.sampler.scheduler import PARKED_POS
+        assert (np.asarray(l0.slot_pos)[~live] == PARKED_POS).all()
+        assert (np.asarray(l0.slot_pos)[live]
+                < p0.fields[0].shape[0]).all()
 
     # the legacy expand_importance entry point (kept for the ablation
     # harness) agrees with the fused pieces slot-by-slot
