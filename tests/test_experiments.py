@@ -110,3 +110,34 @@ def test_gradvar_log_parses(tmp_path):
     var = parse_logs.parse_var(str(log_path))
     assert "full_pred_stdev" in var and "part_pred_bias" in var
     assert all(np.isfinite(v) for v in var.values())
+
+
+def test_plot_convergence_renders(tmp_path):
+    """plot_results renders a convergence figure from a real parsed log
+    (reference scripts/plot-convergence.py role)."""
+    matplotlib = pytest.importorskip("matplotlib")  # noqa: F841
+    sys.path.insert(0, _ROOT)
+    from scripts.plot_results import plot_ab, plot_convergence
+
+    log = tmp_path / "cora_ppTrue_run0.log"
+    log.write_text(
+        "Epoch: 0001 train_loss= 1.00000 train_acc= 0.50000 "
+        "val_loss= 0.90000 val_acc= 0.60000 mi F1=0.60000 ma F1=0.50000  "
+        "time= 0.10000 ttime= 0.05000 data = 100\n"
+        "Epoch: 0002 train_loss= 0.80000 train_acc= 0.70000 "
+        "val_loss= 0.70000 val_acc= 0.78000 mi F1=0.78000 ma F1=0.70000  "
+        "time= 0.10000 ttime= 0.05000 data = 200\n")
+    out = tmp_path / "conv.png"
+    plot_convergence([str(log)], "cora", "epoch", str(out))
+    assert out.exists() and out.stat().st_size > 1000
+
+    # the estimator A/B figure (ESTIMATOR_AB.json schema)
+    import json
+    abj = tmp_path / "ab.json"
+    abj.write_text(json.dumps({
+        "ab_exact_trajectory": [0.3, 0.9, 0.99],
+        "ab_cvpp_trajectory": [0.2, 0.5, 0.9],
+        "ab_target_micro_f1": 0.9}))
+    out2 = tmp_path / "ab.png"
+    plot_ab(str(abj), str(out2))
+    assert out2.exists() and out2.stat().st_size > 1000
