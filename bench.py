@@ -286,6 +286,10 @@ def run_estimator_ab(target_f1=AB_TARGET_F1, log=print, seeds=(1,)):
             out[f"ab_{name}_plateau_micro_f1_per_seed"] = plateaus
             out[f"ab_{name}_seconds_to_target_std"] = _std(hits_s)
             out[f"ab_{name}_epochs_to_target_std"] = _std(hits_ep)
+        # commit this arm's record before starting the next one — a tunnel
+        # death mid-A/B must not lose completed arms (_emit_partial drains
+        # _RESULT; harmless duplicate of the caller's final update)
+        _RESULT.update(out)
     # a 0.0 seconds_to_target is a degenerate measurement (RTT-clamped
     # epochs), not a missing arm: guard on None and flag the degenerate
     # case instead of silently dropping the key
@@ -437,6 +441,24 @@ def main():
     edges_per_s = amt / dt
     steps = total_steps
 
+    # Commit the headline the moment it exists: every later variant is
+    # another multi-minute tunnel exposure, and a mid-run death must not
+    # lose already-measured numbers (_emit_partial hands the driver
+    # whatever is in _RESULT).
+    result = _RESULT
+    result.update({
+        "metric": "reddit_like_cvpp_deg1_sampled_edges_per_s",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / REFERENCE_EDGES_PER_S, 3),
+        "steps_per_s": round(steps / dt, 2),
+        "step_ms": round(1000 * dt / steps, 2),
+        "step_ms_min": round(1000 * min(dts) / (steps // reps), 3),
+        "step_ms_max": round(1000 * max(dts) / (steps // reps), 3),
+        "loss": round(float(metrics["loss"]), 4),
+        "device": str(jax.devices()[0]),
+    })
+
     fast = os.environ.get("BENCH_FAST", "") not in ("", "0", "false",
                                                     "False")
     # f32-history variant (--history_dtype=float32, bit-level reference
@@ -461,6 +483,9 @@ def main():
                 tr16._next_key())
             amt16 += int(m16["amt_data"])
         edges_per_s_bf16 = amt16 / (time.time() - t0)
+        result["edges_per_s_f32_history"] = round(edges_per_s_bf16, 1)
+        result["vs_baseline_f32_history"] = round(
+            edges_per_s_bf16 / REFERENCE_EDGES_PER_S, 3)
 
     # secondary: max-throughput batch (per-step cost is latency-bound and
     # nearly batch-independent, so edges/s scales ~linearly with batch)
@@ -491,19 +516,9 @@ def main():
             amt_big += int(m2["amt_data"])
         dt_big = time.time() - t0
         edges_per_s_big = amt_big / dt_big
-    result = _RESULT
-    result |= {
-        "metric": "reddit_like_cvpp_deg1_sampled_edges_per_s",
-        "value": round(edges_per_s, 1),
-        "unit": "edges/s",
-        "vs_baseline": round(edges_per_s / REFERENCE_EDGES_PER_S, 3),
-        "steps_per_s": round(steps / dt, 2),
-        "step_ms": round(1000 * dt / steps, 2),
-        "step_ms_min": round(1000 * min(dts) / (steps // reps), 3),
-        "step_ms_max": round(1000 * max(dts) / (steps // reps), 3),
-        "loss": round(float(metrics["loss"]), 4),
-        "device": str(jax.devices()[0]),
-    }
+        result["edges_per_s_batch4096"] = round(edges_per_s_big, 1)
+        result["vs_baseline_batch4096"] = round(
+            edges_per_s_big / REFERENCE_EDGES_PER_S_B4096, 3)
     # dedup-compacted field layout (--field_dedup): the reference-faithful
     # `visited`-map semantics (shared sample per node).  The headline above
     # rides the validated no-dedup default (REPLICA_VALIDATION_NODEDUP);
@@ -533,14 +548,12 @@ def main():
             eps = amt_nd / (time.time() - t0)
             if b == BATCH:
                 edges_per_s_nd = eps
+                result["edges_per_s_dedup"] = round(eps, 1)
             else:
                 edges_per_s_nd_big = eps
+                result["edges_per_s_dedup_batch4096"] = round(eps, 1)
             del tr_nd, mnd
 
-    if edges_per_s_big is not None:
-        result["edges_per_s_batch4096"] = round(edges_per_s_big, 1)
-        result["vs_baseline_batch4096"] = round(
-            edges_per_s_big / REFERENCE_EDGES_PER_S_B4096, 3)
     if not fast:
         # IS recipe record (VERDICT r3 item 8): the auto slot cap
         # (is_slot_cap -1 -> 8 at batch 4096) vs the exact-semantics cap-0
@@ -570,10 +583,6 @@ def main():
                 amt_is += int(mis["amt_data"])
             result[key] = round(amt_is / (time.time() - t0), 1)
             del tr_is, mis
-    if edges_per_s_nd is not None:
-        result["edges_per_s_dedup"] = round(edges_per_s_nd, 1)
-    if edges_per_s_nd_big is not None:
-        result["edges_per_s_dedup_batch4096"] = round(edges_per_s_nd_big, 1)
     if not fast:
         # second north-star metric: epochs/time to target micro-F1
         # (free the throughput trainers' HBM first)
@@ -586,10 +595,6 @@ def main():
         # with Exact, but is faster")
         del ds
         result.update(run_estimator_ab())   # logs to stderr
-    if edges_per_s_bf16 is not None:
-        result["edges_per_s_f32_history"] = round(edges_per_s_bf16, 1)
-        result["vs_baseline_f32_history"] = round(
-            edges_per_s_bf16 / REFERENCE_EDGES_PER_S, 3)
     if not fast:
         # driver-visible hardware smoke of the Pallas streaming-gather
         # kernel (the true-f32 full-neighborhood option, --use_pallas):
