@@ -119,8 +119,8 @@ def fanout_aggregate(x: jax.Array, pos: jax.Array, w: jax.Array,
         functools.partial(_fanout_kernel, tf=tf, k=k, total_pad=total_pad),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # pos (flat, in HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # w (flat, in HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # pos (flat, in HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # w (flat, in HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x (whole array)
         ],
         out_specs=pl.BlockSpec((tf, d), lambda i: (i, 0),
@@ -216,9 +216,9 @@ def hbm_gather_aggregate(table: jax.Array, idx: jax.Array, w: jax.Array,
         functools.partial(_hbm_kernel, tf=tf, k=k, total_pad=total_pad),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # idx (flat, in HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # w (flat, in HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),    # idx (flat, in HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # w (flat, in HBM)
+            pl.BlockSpec(memory_space=pl.ANY),    # table stays in HBM
         ],
         out_specs=pl.BlockSpec((tf, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
