@@ -295,6 +295,15 @@ class Config:
     # Save a checkpoint every N epochs (0 = only at the end, reference
     # behavior). Adds preemption safety the reference lacks (SURVEY §5.4).
     ckpt_every: int = 0
+    # Continue a preempted/interrupted run from ckpt_dir's checkpoint:
+    # restores the full train state (params, Adam, histories, RNG) PLUS
+    # the loop counters (completed epochs, cumulative sampled-edge count
+    # for the --data budget, the early-stopping validation-loss window),
+    # then keeps training.  Starts fresh when no checkpoint exists, so
+    # the SAME command line works for the first launch and every
+    # relaunch.  Contrast --load, which restores weights and skips
+    # training entirely (reference train.py:171-175 semantics).
+    resume: bool = False
     # Profiling surface (§5.1): write a jax.profiler trace (XProf /
     # TensorBoard `plugins/profile` format — device timeline, HLO op
     # breakdown, memory viewer) of selected train epochs to this

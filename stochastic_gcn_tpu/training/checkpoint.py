@@ -25,6 +25,10 @@ import jax
 _LEAF_PREFIX = "leaf:"
 _BF16_PREFIX = "bf16leaf:"   # bfloat16 stored as a uint16 bit view (npz has
                              # no native bfloat16; pickle stays banned)
+_EXTRA_PREFIX = "extra:"     # loop counters for --resume (epoch, amt_data,
+                             # early-stop window) — plain numeric arrays
+                             # OUTSIDE the state pytree, so checkpoints
+                             # stay loadable by templates that predate them
 _AVG_PATH_PREFIX = "['state'].avg_params"
 
 
@@ -47,10 +51,13 @@ def _leaf_to_numpy(leaf):
 
 
 def save_checkpoint(ckpt_dir: str, state, eval_histories, key,
-                    name: str = "model") -> str:
+                    name: str = "model", extra: dict = None) -> str:
     """Write the full train state.  Multi-controller: all processes join
     the shard gathers, process 0 writes the file (assumed on a shared
-    filesystem for later --load), and a barrier keeps save/load ordered."""
+    filesystem for later --load), and a barrier keeps save/load ordered.
+
+    ``extra``: optional {str: numeric scalar/array} of loop counters for
+    --resume, stored outside the state pytree (ignored by plain --load)."""
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"{name}.ckpt.npz")
     payload = {"state": state, "eval_histories": eval_histories, "key": key}
@@ -62,6 +69,8 @@ def save_checkpoint(ckpt_dir: str, state, eval_histories, key,
             arrays[_BF16_PREFIX + k] = a.view(np.uint16)
         else:
             arrays[_LEAF_PREFIX + k] = a
+    for k, v in (extra or {}).items():
+        arrays[_EXTRA_PREFIX + k] = np.asarray(v)
     from ..parallel.distributed import is_main, process_count
     if is_main():
         with open(path, "wb") as f:
@@ -71,6 +80,15 @@ def save_checkpoint(ckpt_dir: str, state, eval_histories, key,
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("checkpoint_saved")
     return path
+
+
+def load_loop_extras(ckpt_dir: str, name: str = "model") -> dict:
+    """The --resume loop counters stored alongside the state (empty dict
+    for checkpoints written before resume support, or by bare save())."""
+    path = os.path.join(ckpt_dir, f"{name}.ckpt.npz")
+    z = np.load(path, allow_pickle=False)
+    return {k[len(_EXTRA_PREFIX):]: z[k] for k in z.files
+            if k.startswith(_EXTRA_PREFIX)}
 
 
 def load_checkpoint(ckpt_dir: str, state_template, eval_hist_template,

@@ -26,7 +26,7 @@ from ..models import gcn as M
 from ..sampler.scheduler import MinibatchIterator, compute_importance
 from ..utils.metrics import calc_f1, f1_from_counts
 from . import step as S
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import load_checkpoint, load_loop_extras, save_checkpoint
 
 
 def assemble_input_features(cfg: Config, feats, nbr_feats, preprocess: bool):
@@ -250,6 +250,7 @@ class Trainer:
             self._to_internal(ds.train_d), cfg.batch_size, n, cfg.seed)
         self.cost_val: list[float] = []
         self.amt_data = 0
+        self.completed_epochs = 0     # checkpointed for --resume
         self.epoch_stats = {}
 
     # ------------------------------------------------------------------
@@ -448,10 +449,12 @@ class Trainer:
         """SGDTrain (train.py:170-238): epoch loop + validation + early
         stopping on the trailing-window validation loss."""
         cfg = self.cfg
-        if cfg.load:
+        if cfg.load and not cfg.resume:
             self.load()
             return
-        for epoch in range(max_epochs if max_epochs is not None
+        start_epoch = self._try_resume(log) if cfg.resume else 0
+        for epoch in range(start_epoch,
+                           max_epochs if max_epochs is not None
                            else 100000000):
             if self._profile_this(epoch + 1):
                 import jax.profiler
@@ -463,6 +466,7 @@ class Trainer:
                 train_loss, train_acc, ttime, _ = self.train_epoch()
             cost, acc, micro, macro, duration = self.evaluate(self.ds.val_d)
             self.cost_val.append(cost)
+            self.completed_epochs = epoch + 1
             log(f"Epoch: {epoch + 1:04d} "
                 f"train_loss= {train_loss:.5f} train_acc= {train_acc:.5f} "
                 f"val_loss= {cost:.5f} val_acc= {acc:.5f} "
@@ -600,9 +604,37 @@ class Trainer:
     # ------------------------------------------------------------------
     def save(self):
         # multi-controller: sharded leaves are gathered over DCN inside
-        # save_checkpoint; process 0 writes (shared filesystem assumed)
+        # save_checkpoint; process 0 writes (shared filesystem assumed).
+        # Loop counters ride along for --resume; plain --load ignores them.
         save_checkpoint(self.cfg.ckpt_dir, self.state, self.eval_histories,
-                        self.key)
+                        self.key,
+                        extra={"completed_epochs":
+                               np.int64(self.completed_epochs),
+                               "amt_data": np.int64(self.amt_data),
+                               "cost_val": np.asarray(self.cost_val,
+                                                      np.float64)})
+
+    def _try_resume(self, log=print) -> int:
+        """--resume: restore full state + loop counters from ckpt_dir if a
+        checkpoint exists (else start fresh, so one command line serves
+        first launch and relaunch).  Returns the 0-based epoch index to
+        continue from.  The device RNG stream resumes exactly (the key is
+        checkpointed); the host-side epoch shuffle order restarts from the
+        iterator's seed, which only permutes WHICH batches follow — every
+        estimator is unbiased over batch order."""
+        import os
+        path = os.path.join(self.cfg.ckpt_dir, "model.ckpt.npz")
+        if not os.path.exists(path):
+            log(f"resume: no checkpoint at {path}, starting fresh")
+            return 0
+        self.load(load_history=True)
+        ex = load_loop_extras(self.cfg.ckpt_dir)
+        self.completed_epochs = int(ex.get("completed_epochs", 0))
+        self.amt_data = int(ex.get("amt_data", 0))
+        self.cost_val = [float(c) for c in ex.get("cost_val", [])]
+        log(f"resume: continuing from epoch {self.completed_epochs + 1} "
+            f"(data = {self.amt_data})")
+        return self.completed_epochs
 
     def load(self, load_history: bool = None):
         if load_history is None:

@@ -1,0 +1,100 @@
+"""--resume: continue a preempted run from the periodic checkpoint with
+the loop counters (epoch, amt_data, early-stop window) restored — the
+elastic-recovery surface the reference lacks (SURVEY §5.3/5.4; --load
+keeps the reference's restore-weights-and-skip-training semantics,
+train.py:171-175)."""
+
+import numpy as np
+import pytest
+
+from stochastic_gcn_tpu.config import Config
+from stochastic_gcn_tpu.data.loaders import synthetic_dataset
+from stochastic_gcn_tpu.training.checkpoint import load_loop_extras
+from stochastic_gcn_tpu.training.loop import Trainer
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return synthetic_dataset(num_nodes=200, feature_dim=16, num_classes=4,
+                             avg_degree=6, seed=0)
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(dataset="synthetic", batch_size=64, degree=1, test_degree=1,
+                cv=True, test_cv=True, hidden1=16, seed=1,
+                early_stopping=100, ckpt_dir=str(tmp_path))
+    base.update(kw)
+    return Config(**base)
+
+
+def test_resume_continues_epoch_count_and_counters(tmp_path, ds):
+    """Interrupt after 2 epochs; a relaunched --resume trainer continues at
+    epoch 3 with amt_data / cost_val carried over, and the final
+    checkpoint records the combined run."""
+    logs_a = []
+    tr = Trainer(_cfg(tmp_path), ds)
+    tr.sgd_train(log=logs_a.append, max_epochs=2)   # saves at the end
+    amt_a, cost_a = tr.amt_data, list(tr.cost_val)
+    assert tr.completed_epochs == 2 and len(cost_a) == 2 and amt_a > 0
+
+    logs_b = []
+    tr2 = Trainer(_cfg(tmp_path, resume=True), ds)
+    tr2.sgd_train(log=logs_b.append, max_epochs=4)
+    joined = "\n".join(map(str, logs_b))
+    assert "resume: continuing from epoch 3" in joined
+    # exactly epochs 3 and 4 run — no repeat of 1/2
+    assert "Epoch: 0003" in joined and "Epoch: 0004" in joined
+    assert "Epoch: 0001" not in joined and "Epoch: 0002" not in joined
+    # counters continued, not reset
+    assert tr2.completed_epochs == 4
+    assert tr2.amt_data > amt_a
+    assert len(tr2.cost_val) == 4
+    assert tr2.cost_val[:2] == pytest.approx(cost_a)
+    # the final checkpoint carries the combined counters for the NEXT resume
+    ex = load_loop_extras(str(tmp_path))
+    assert int(ex["completed_epochs"]) == 4
+    assert int(ex["amt_data"]) == tr2.amt_data
+    assert len(ex["cost_val"]) == 4
+
+
+def test_resume_starts_fresh_without_checkpoint(tmp_path, ds):
+    """The same --resume command line works for the FIRST launch."""
+    logs = []
+    tr = Trainer(_cfg(tmp_path, resume=True), ds)
+    tr.sgd_train(log=logs.append, max_epochs=1)
+    joined = "\n".join(map(str, logs))
+    assert "starting fresh" in joined and "Epoch: 0001" in joined
+    assert tr.completed_epochs == 1
+
+
+def test_resume_restores_weights_not_just_counters(tmp_path, ds):
+    """The resumed trainer picks up the checkpointed state, not a fresh
+    init: its evaluation is bit-identical to a plain --load of the same
+    checkpoint (which shares the train.py:174 train→eval history copy),
+    and differs from an untrained trainer's."""
+    tr = Trainer(_cfg(tmp_path), ds)
+    tr.sgd_train(log=lambda *a, **k: None, max_epochs=3)
+
+    tr2 = Trainer(_cfg(tmp_path, resume=True), ds)
+    tr2._try_resume(log=lambda *a, **k: None)
+    tr3 = Trainer(_cfg(tmp_path), ds)
+    tr3.load(load_history=True)
+    cost_resumed, _, _, _, _ = tr2.evaluate(ds.val_d)
+    cost_loaded, _, _, _, _ = tr3.evaluate(ds.val_d)
+    assert cost_resumed == pytest.approx(cost_loaded, rel=1e-6)
+
+    fresh_cost, _, _, _, _ = Trainer(_cfg(tmp_path), ds).evaluate(ds.val_d)
+    assert abs(fresh_cost - cost_resumed) > 1e-3
+
+
+def test_plain_load_ignores_extras(tmp_path, ds):
+    """--load keeps reference semantics: weights restored, training
+    skipped, loop counters untouched."""
+    tr = Trainer(_cfg(tmp_path), ds)
+    tr.sgd_train(log=lambda *a, **k: None, max_epochs=2)
+
+    logs = []
+    tr2 = Trainer(_cfg(tmp_path, load=True), ds)
+    tr2.sgd_train(log=logs.append)
+    assert tr2.completed_epochs == 0 and tr2.amt_data == 0
+    assert not any("Epoch:" in str(l) for l in logs)
