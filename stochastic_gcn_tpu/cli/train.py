@@ -53,6 +53,9 @@ def main(argv=None):
         return trainer
 
     trainer = Trainer(cfg, ds)
+    # preemption (SIGTERM) → finish the epoch, checkpoint, exit cleanly;
+    # relaunching the same command with --resume continues from there
+    trainer.install_preemption_handler()
     trainer.sgd_train()
 
     if cfg.gradvar:

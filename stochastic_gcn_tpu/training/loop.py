@@ -251,6 +251,7 @@ class Trainer:
         self.cost_val: list[float] = []
         self.amt_data = 0
         self.completed_epochs = 0     # checkpointed for --resume
+        self.stop_requested = False   # preemption: finish epoch, save, exit
         self.epoch_stats = {}
 
     # ------------------------------------------------------------------
@@ -484,6 +485,14 @@ class Trainer:
                     f"fadj sizes = {es['fadj_sizes']}")
             if cfg.ckpt_every and (epoch + 1) % cfg.ckpt_every == 0:
                 self.save()
+            if self.stop_requested:
+                # preemption notice (install_preemption_handler): leave the
+                # loop at the epoch boundary; the final save below writes
+                # the resume counters, and a --resume relaunch continues
+                # from the next epoch
+                log(f"Preemption stop after epoch {epoch + 1}; "
+                    "checkpointing for --resume...")
+                break
             if (epoch > cfg.early_stopping and
                     self.cost_val[-1] > np.mean(
                         self.cost_val[-(cfg.early_stopping + 1):-1])):
@@ -613,6 +622,25 @@ class Trainer:
                                "amt_data": np.int64(self.amt_data),
                                "cost_val": np.asarray(self.cost_val,
                                                       np.float64)})
+
+    def install_preemption_handler(self, signals=None):
+        """Route SIGTERM (the eviction notice TPU pods / cluster managers
+        send before reclaiming a worker) to a graceful stop: the epoch in
+        flight finishes, the loop exits at the boundary, and sgd_train's
+        final save writes the --resume counters — so a preempted job loses
+        at most one epoch and relaunches with the same command line.
+        Chains to any previously installed handler.  SIGINT is left alone
+        (KeyboardInterrupt stays an abort, reference behavior)."""
+        import signal as _signal
+        for sig in (signals or (_signal.SIGTERM,)):
+            prev = _signal.getsignal(sig)
+
+            def _handler(signum, frame, _prev=prev):
+                self.stop_requested = True
+                if callable(_prev):
+                    _prev(signum, frame)
+
+            _signal.signal(sig, _handler)
 
     def _try_resume(self, log=print) -> int:
         """--resume: restore full state + loop counters from ckpt_dir if a

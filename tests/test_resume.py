@@ -87,6 +87,49 @@ def test_resume_restores_weights_not_just_counters(tmp_path, ds):
     assert abs(fresh_cost - cost_resumed) > 1e-3
 
 
+def test_preemption_stop_checkpoints_for_resume(tmp_path, ds):
+    """stop_requested (the SIGTERM path) exits at the epoch boundary with
+    a checkpoint whose counters a --resume relaunch continues from."""
+    tr = Trainer(_cfg(tmp_path), ds)
+
+    logs = []
+
+    def log(msg, *a, **k):
+        logs.append(str(msg))
+        if "Epoch: 0002" in str(msg):
+            tr.stop_requested = True    # what the signal handler does
+
+    tr.sgd_train(log=log, max_epochs=10)
+    joined = "\n".join(logs)
+    assert "Preemption stop after epoch 2" in joined
+    assert "Epoch: 0003" not in joined
+    assert int(load_loop_extras(str(tmp_path))["completed_epochs"]) == 2
+
+    logs_b = []
+    tr2 = Trainer(_cfg(tmp_path, resume=True), ds)
+    tr2.sgd_train(log=logs_b.append, max_epochs=3)
+    assert "resume: continuing from epoch 3" in "\n".join(map(str, logs_b))
+
+
+def test_sigterm_handler_sets_stop_and_chains(tmp_path, ds):
+    """A real SIGTERM delivered to the process flips stop_requested via
+    install_preemption_handler and chains to the previous handler."""
+    import os
+    import signal
+
+    chained = []
+    prev = signal.getsignal(signal.SIGTERM)
+    try:
+        signal.signal(signal.SIGTERM, lambda s, f: chained.append(s))
+        tr = Trainer(_cfg(tmp_path), ds)
+        tr.install_preemption_handler()
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert tr.stop_requested
+        assert chained == [signal.SIGTERM]
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+
+
 def test_plain_load_ignores_extras(tmp_path, ds):
     """--load keeps reference semantics: weights restored, training
     skipped, loop counters untouched."""
