@@ -130,6 +130,24 @@ def test_sigterm_handler_sets_stop_and_chains(tmp_path, ds):
         signal.signal(signal.SIGTERM, prev)
 
 
+def test_resume_from_pre_resume_checkpoint(tmp_path, ds):
+    """A checkpoint written WITHOUT loop extras (pre-resume format, or a
+    bare save_checkpoint call) still resumes: weights restored, counters
+    default to zero."""
+    from stochastic_gcn_tpu.training.checkpoint import save_checkpoint
+
+    tr = Trainer(_cfg(tmp_path), ds)
+    tr.train_epoch()
+    save_checkpoint(str(tmp_path), tr.state, tr.eval_histories, tr.key)
+    assert load_loop_extras(str(tmp_path)) == {}
+
+    logs = []
+    tr2 = Trainer(_cfg(tmp_path, resume=True), ds)
+    start = tr2._try_resume(log=logs.append)
+    assert start == 0 and tr2.amt_data == 0 and tr2.cost_val == []
+    assert "resume: continuing from epoch 1" in "\n".join(map(str, logs))
+
+
 def test_plain_load_ignores_extras(tmp_path, ds):
     """--load keeps reference semantics: weights restored, training
     skipped, loop counters untouched."""
