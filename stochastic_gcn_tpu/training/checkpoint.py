@@ -51,7 +51,8 @@ def _leaf_to_numpy(leaf):
 
 
 def save_checkpoint(ckpt_dir: str, state, eval_histories, key,
-                    name: str = "model", extra: dict = None) -> str:
+                    name: str = "model", extra: dict = None,
+                    compress: bool = True) -> str:
     """Write the full train state.  Multi-controller: all processes join
     the shard gathers, process 0 writes the file (assumed on a shared
     filesystem for later --load), and a barrier keeps save/load ordered.
@@ -73,8 +74,13 @@ def save_checkpoint(ckpt_dir: str, state, eval_histories, key,
         arrays[_EXTRA_PREFIX + k] = np.asarray(v)
     from ..parallel.distributed import is_main, process_count
     if is_main():
+        # compression is the dominant save cost at scale (PERF.md
+        # "Checkpoint cost": 4.9 s vs 0.9 s on a 173 MiB state for 5.2x
+        # smaller); --nockpt_compress trades disk for preemption-snapshot
+        # speed.  np.load reads both transparently.
+        writer = np.savez_compressed if compress else np.savez
         with open(path, "wb") as f:
-            np.savez_compressed(f, **arrays)
+            writer(f, **arrays)
         print(f"Model saved in file: {path}")
     if process_count() > 1:
         from jax.experimental import multihost_utils

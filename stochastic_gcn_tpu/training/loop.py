@@ -621,7 +621,8 @@ class Trainer:
                                np.int64(self.completed_epochs),
                                "amt_data": np.int64(self.amt_data),
                                "cost_val": np.asarray(self.cost_val,
-                                                      np.float64)})
+                                                      np.float64)},
+                        compress=self.cfg.ckpt_compress)
 
     def install_preemption_handler(self, signals=None):
         """Route SIGTERM (the eviction notice TPU pods / cluster managers

@@ -148,6 +148,21 @@ def test_resume_from_pre_resume_checkpoint(tmp_path, ds):
     assert "resume: continuing from epoch 1" in "\n".join(map(str, logs))
 
 
+def test_uncompressed_checkpoint_roundtrips(tmp_path, ds):
+    """--nockpt_compress writes a plain npz that load/resume read
+    identically (np.load handles both formats transparently)."""
+    import jax
+
+    tr = Trainer(_cfg(tmp_path, ckpt_compress=False), ds)
+    tr.sgd_train(log=lambda *a, **k: None, max_epochs=1)
+
+    tr2 = Trainer(_cfg(tmp_path, resume=True), ds)
+    assert tr2._try_resume(log=lambda *a, **k: None) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(tr.state.params),
+                    jax.tree_util.tree_leaves(tr2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_plain_load_ignores_extras(tmp_path, ds):
     """--load keeps reference semantics: weights restored, training
     skipped, loop counters untouched."""
