@@ -58,6 +58,13 @@ def main(argv=None):
     trainer.install_preemption_handler()
     trainer.sgd_train()
 
+    if trainer.stop_requested:
+        # preempted: the checkpoint is already written.  Exit now instead
+        # of burning the eviction grace window on gradvar / the
+        # (num_layers+1)-pass test_cv evaluation — a --resume relaunch
+        # finishes training and runs them.
+        return trainer
+
     if cfg.gradvar:
         trainer.gradient_variance()
 

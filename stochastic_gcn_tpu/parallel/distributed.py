@@ -43,5 +43,21 @@ def process_count() -> int:
     return jax.process_count()
 
 
+def allreduce_flag(flag: bool) -> bool:
+    """Max-reduce a host-side boolean across processes so every controller
+    takes the same branch at a synchronization point (e.g. the preemption
+    stop check at an epoch boundary — SIGTERM delivery can race the check,
+    and a split decision would mismatch the final save's collective shard
+    gathers against another process's gradient all-reduce).  Single
+    process: returns the flag unchanged without touching the device."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    import numpy as np
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(
+        np.asarray([1 if flag else 0], np.int32))
+    return bool(np.max(gathered))
+
+
 def is_main() -> bool:
     return jax.process_index() == 0

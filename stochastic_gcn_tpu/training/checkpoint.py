@@ -92,22 +92,29 @@ def load_loop_extras(ckpt_dir: str, name: str = "model") -> dict:
     """The --resume loop counters stored alongside the state (empty dict
     for checkpoints written before resume support, or by bare save())."""
     path = os.path.join(ckpt_dir, f"{name}.ckpt.npz")
-    z = np.load(path, allow_pickle=False)
-    return {k[len(_EXTRA_PREFIX):]: z[k] for k in z.files
-            if k.startswith(_EXTRA_PREFIX)}
+    with np.load(path, allow_pickle=False) as z:
+        return {k[len(_EXTRA_PREFIX):]: z[k] for k in z.files
+                if k.startswith(_EXTRA_PREFIX)}
 
 
 def load_checkpoint(ckpt_dir: str, state_template, eval_hist_template,
                     key_template, load_history: bool = True,
                     name: str = "model"):
     path = os.path.join(ckpt_dir, f"{name}.ckpt.npz")
-    z = np.load(path, allow_pickle=False)
-    stored = {}
-    for k in z.files:
-        if k.startswith(_LEAF_PREFIX):
-            stored[k[len(_LEAF_PREFIX):]] = k
-        elif k.startswith(_BF16_PREFIX):
-            stored[k[len(_BF16_PREFIX):]] = k
+    with np.load(path, allow_pickle=False) as z:
+        stored = {}
+        for k in z.files:
+            if k.startswith(_LEAF_PREFIX):
+                stored[k[len(_LEAF_PREFIX):]] = k
+            elif k.startswith(_BF16_PREFIX):
+                stored[k[len(_BF16_PREFIX):]] = k
+        return _rebuild_from_arrays(
+            path, z, stored, state_template, eval_hist_template,
+            key_template, load_history)
+
+
+def _rebuild_from_arrays(path, z, stored, state_template,
+                         eval_hist_template, key_template, load_history):
 
     # Reconcile the Polyak average with the CURRENT run's polyak_decay
     # BEFORE rebuilding the tree: a checkpoint saved without it must not

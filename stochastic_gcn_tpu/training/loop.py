@@ -454,6 +454,17 @@ class Trainer:
             self.load()
             return
         start_epoch = self._try_resume(log) if cfg.resume else 0
+        try:
+            self._sgd_epoch_loop(cfg, start_epoch, max_epochs, log)
+        finally:
+            # once training has left the loop, SIGTERM should kill the
+            # process again (ADVICE r4: a forever-installed flag-setter
+            # silently swallows signals after the first stop)
+            self._restore_preemption_handlers()
+        log("Optimization Finished!")
+        self.save()
+
+    def _sgd_epoch_loop(self, cfg, start_epoch, max_epochs, log):
         for epoch in range(start_epoch,
                            max_epochs if max_epochs is not None
                            else 100000000):
@@ -485,11 +496,15 @@ class Trainer:
                     f"fadj sizes = {es['fadj_sizes']}")
             if cfg.ckpt_every and (epoch + 1) % cfg.ckpt_every == 0:
                 self.save()
-            if self.stop_requested:
-                # preemption notice (install_preemption_handler): leave the
-                # loop at the epoch boundary; the final save below writes
-                # the resume counters, and a --resume relaunch continues
-                # from the next epoch
+            # preemption notice (install_preemption_handler): leave the
+            # loop at the epoch boundary.  Under multi-controller launches
+            # the flag is max-reduced so every process takes the SAME
+            # branch — SIGTERM delivery races the boundary check, and a
+            # split decision would deadlock the final save's shard gathers
+            # against another process's next-epoch all-reduce.
+            from ..parallel.distributed import allreduce_flag
+            if allreduce_flag(self.stop_requested):
+                self.stop_requested = True   # propagate to late receivers
                 log(f"Preemption stop after epoch {epoch + 1}; "
                     "checkpointing for --resume...")
                 break
@@ -501,8 +516,6 @@ class Trainer:
             # reference stop: 0-based epoch > FLAGS.epochs (train.py:234)
             if self.amt_data >= cfg.data and epoch > cfg.epochs:
                 break
-        log("Optimization Finished!")
-        self.save()
 
     def test(self, log=print):
         """Test (train.py:320-329); with test_cv the caller should invoke
@@ -631,10 +644,14 @@ class Trainer:
         final save writes the --resume counters — so a preempted job loses
         at most one epoch and relaunches with the same command line.
         Chains to any previously installed handler.  SIGINT is left alone
-        (KeyboardInterrupt stays an abort, reference behavior)."""
+        (KeyboardInterrupt stays an abort, reference behavior).  sgd_train
+        restores the previous handlers on exit, so signals received after
+        training are never silently swallowed."""
         import signal as _signal
+        self._prev_sig_handlers = getattr(self, "_prev_sig_handlers", [])
         for sig in (signals or (_signal.SIGTERM,)):
             prev = _signal.getsignal(sig)
+            self._prev_sig_handlers.append((sig, prev))
 
             def _handler(signum, frame, _prev=prev):
                 self.stop_requested = True
@@ -642,6 +659,12 @@ class Trainer:
                     _prev(signum, frame)
 
             _signal.signal(sig, _handler)
+
+    def _restore_preemption_handlers(self):
+        import signal as _signal
+        for sig, prev in getattr(self, "_prev_sig_handlers", []):
+            _signal.signal(sig, prev)
+        self._prev_sig_handlers = []
 
     def _try_resume(self, log=print) -> int:
         """--resume: restore full state + loop counters from ckpt_dir if a

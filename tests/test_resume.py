@@ -174,3 +174,73 @@ def test_plain_load_ignores_extras(tmp_path, ds):
     tr2.sgd_train(log=logs.append)
     assert tr2.completed_epochs == 0 and tr2.amt_data == 0
     assert not any("Epoch:" in str(l) for l in logs)
+
+
+def test_sigterm_handler_restored_after_sgd_train(tmp_path, ds):
+    """sgd_train restores the pre-install signal disposition on exit
+    (ADVICE r4: a forever-installed flag-setter swallowed post-training
+    SIGTERMs), including on the preemption-stop path."""
+    import signal
+
+    prev = signal.getsignal(signal.SIGTERM)
+    try:
+        tr = Trainer(_cfg(tmp_path), ds)
+        tr.install_preemption_handler()
+        installed = signal.getsignal(signal.SIGTERM)
+        assert installed is not prev
+
+        def log(msg, *a, **k):
+            if "Epoch: 0001" in str(msg):
+                tr.stop_requested = True
+
+        tr.sgd_train(log=log, max_epochs=3)
+        assert signal.getsignal(signal.SIGTERM) is prev
+        assert tr._prev_sig_handlers == []
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+
+
+def test_cli_skips_tests_after_preemption_stop(tmp_path, ds, monkeypatch):
+    """After a preemption stop the CLI exits without gradvar/run_tests —
+    the eviction grace window is for checkpointing, not the
+    (num_layers+1)-pass test_cv evaluation (ADVICE r4)."""
+    from stochastic_gcn_tpu.cli import train as cli_train
+
+    calls = []
+
+    class FakeTrainer:
+        stop_requested = False
+
+        def __init__(self, cfg, ds_):
+            pass
+
+        def install_preemption_handler(self):
+            calls.append("install")
+
+        def sgd_train(self):
+            calls.append("sgd_train")
+            self.stop_requested = True   # preempted mid-run
+
+        def run_tests(self):
+            calls.append("run_tests")
+
+        def gradient_variance(self):
+            calls.append("gradvar")
+
+    monkeypatch.setattr(cli_train, "Trainer", FakeTrainer)
+    monkeypatch.setattr(cli_train, "load_data", lambda cfg: ds)
+    cli_train.main(["--dataset", "synthetic:200:16:4", "--gradvar",
+                    "--ckpt_dir", str(tmp_path)])
+    assert calls == ["install", "sgd_train"]
+
+
+def test_load_loop_extras_closes_file(tmp_path, ds):
+    """load_loop_extras must not leak the npz file handle (ADVICE r4)."""
+    import warnings
+
+    tr = Trainer(_cfg(tmp_path), ds)
+    tr.sgd_train(log=lambda *a, **k: None, max_epochs=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", ResourceWarning)
+        for _ in range(8):
+            load_loop_extras(str(tmp_path))
