@@ -82,12 +82,14 @@ def run_grid(make_cfg, ds, log, seeds=(1,)):
     why the reference sweeps multi-seed, run-experiments.py:39-74)."""
     from stochastic_gcn_tpu.training.loop import Trainer
     out = {}
+    trunc_frac = 0.0
     for name, over in ALGOS:
         t0 = time.time()
         acc = {"val_acc": [], "val_micro_f1": [], "test_acc": [],
                "test_micro_f1": []}
         for seed in seeds:
             tr = Trainer(make_cfg(**over).replace(seed=seed), ds)
+            trunc_frac = max(trunc_frac, tr.truncated_edges_frac)
             tr.sgd_train(log=lambda *a: None, max_epochs=None)
             vloss, vacc, vmicro, _, _ = tr.evaluate(ds.val_d)
             tacc, tmicro, _ = tr.run_tests(log=lambda *a: None)
@@ -102,6 +104,9 @@ def run_grid(make_cfg, ds, log, seeds=(1,)):
             f"test_acc={out[name]['test_acc']:.4f} "
             f"micro_f1={out[name]['test_micro_f1']:.4f}  "
             f"({time.time()-t0:.0f}s, {len(seeds)} seeds)")
+    # a lossy CV full term must be visible in the artifact, not just the
+    # flat_csr UserWarning (VERDICT r4 #8); 0.0 on padded graphs
+    out["truncated_edges_frac"] = trunc_frac
     return out
 
 
@@ -227,6 +232,8 @@ def main():
                         ("ppi_replica", "test_micro_f1")]:
         exact = results[dsname]["Exact"][key]
         for algo, r in results[dsname].items():
+            if not isinstance(r, dict):      # e.g. truncated_edges_frac
+                continue
             tol = args.cv_tol if algo in ("CVPP", "CVDPP") else args.tol
             if r[key] < exact - tol:
                 failures.append(
@@ -240,11 +247,16 @@ def main():
 
     results["failures"] = failures
     results["passed"] = not failures
+    results["truncated_edges_frac"] = max(
+        results[d].get("truncated_edges_frac", 0.0)
+        for d in ("cora_replica", "ppi_replica"))
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({"metric": "replica_estimator_parity",
                       "passed": results["passed"],
                       "failures": failures,
+                      "truncated_edges_frac":
+                          results["truncated_edges_frac"],
                       "cora_exact_val_acc": cora_val}))
     sys.exit(0 if results["passed"] else 1)
 

@@ -236,6 +236,14 @@ class FlatGraph:
     # renormalizing AFTER capping (gcn/utils.py:532-543).  Replicated on a
     # mesh (small, like ``deg``).  None on pre-round-4 pickles.
     renorm: Optional[jax.Array] = None
+    # Static record of the edge fraction the per-row budget drops from the
+    # CV full-neighborhood term (0.0 = lossless).  Surfaced as
+    # ``truncated_edges_frac`` in bench / replica-validation artifacts so
+    # a lossy full term can never pass silently (VERDICT r4 #8; the
+    # UserWarning alone is easy to miss in driver logs).  Rounded at
+    # construction so equal-budget graphs share a treedef.
+    truncated_frac: float = dataclasses.field(
+        default=0.0, metadata=dict(static=True))
 
     BLOCK = 8          # f32/int32 sublane width: minimal pad, whole-block
                        # gathers already ride the row-issue path
@@ -312,9 +320,11 @@ def flat_csr(adj: sp.csr_matrix, edge_mult: float = 0.0,
     # like the reference's --max_degree subsample); still surface heavy
     # truncation — an explicit small budget costs full-term fidelity.
     over = deg > cap_row
+    trunc_frac = 0.0
     if over.any():
         lost = int((deg[over] - cap_row).sum())
         total = int(deg.sum())
+        trunc_frac = round(lost / max(total, 1), 6)
         if lost > 0.01 * total:
             import warnings
             warnings.warn(
@@ -385,7 +395,8 @@ def flat_csr(adj: sp.csr_matrix, edge_mult: float = 0.0,
                      deg=jnp.asarray(deg_out),
                      max_degree=max_deg, edge_cap_per_row=cap_row,
                      parts=parts, tier_w=tw, tier_frac=tf,
-                     renorm=jnp.asarray(renorm))
+                     renorm=jnp.asarray(renorm),
+                     truncated_frac=trunc_frac)
 
 
 def flat_row_windows(graph: "FlatGraph", field: jax.Array, width: int,

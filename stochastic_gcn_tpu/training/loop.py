@@ -255,6 +255,16 @@ class Trainer:
         self.epoch_stats = {}
 
     # ------------------------------------------------------------------
+    @property
+    def truncated_edges_frac(self) -> float:
+        """Fraction of full-neighborhood edges the edgelist per-row budget
+        drops (max over train/eval graphs; 0.0 for padded graphs, which
+        are lossless).  Surfaced in bench/validation artifacts so a lossy
+        CV full term is visible in the driver record, not only in the
+        flat_csr UserWarning (VERDICT r4 #8)."""
+        return max(getattr(self.graph_train, "truncated_frac", 0.0),
+                   getattr(self.graph_full, "truncated_frac", 0.0))
+
     def _eval_params(self):
         """Weights used for evaluation: the Polyak/EMA average when enabled
         (the working version of the reference's dormant backup_model/
