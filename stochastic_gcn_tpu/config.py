@@ -300,6 +300,17 @@ class Config:
     # uncompressed for a 5.2x smaller file — PERF.md "Checkpoint cost");
     # frequent --ckpt_every preemption snapshots want --nockpt_compress.
     ckpt_compress: bool = True
+    # Double-buffered checkpointing (default): save() snapshots the device
+    # state into fresh buffers (~ms on-chip copy), then the device->host
+    # fetch and the file write run on a background thread while the next
+    # epoch's scan trains — the standard TPU overlap the reference's
+    # end-of-training tf.train.Saver never needed (models.py:204-220).
+    # Writes are atomic (tmp + rename), so a crash mid-write leaves the
+    # previous complete snapshot; the final save and any load/resume wait
+    # for pending writes.  Multi-controller launches fall back to the
+    # synchronous collective save (shard gathers cannot overlap the next
+    # epoch's collectives).  --nockpt_async restores blocking saves.
+    ckpt_async: bool = True
     # Continue a preempted/interrupted run from ckpt_dir's checkpoint:
     # restores the full train state (params, Adam, histories, RNG) PLUS
     # the loop counters (completed epochs, cumulative sampled-edge count

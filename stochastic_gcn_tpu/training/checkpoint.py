@@ -79,13 +79,102 @@ def save_checkpoint(ckpt_dir: str, state, eval_histories, key,
         # smaller); --nockpt_compress trades disk for preemption-snapshot
         # speed.  np.load reads both transparently.
         writer = np.savez_compressed if compress else np.savez
-        with open(path, "wb") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             writer(f, **arrays)
-        print(f"Model saved in file: {path}")
+        os.replace(tmp, path)     # atomic: a crash mid-write leaves the
+        print(f"Model saved in file: {path}")   # previous snapshot intact
     if process_count() > 1:
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("checkpoint_saved")
     return path
+
+
+class AsyncCheckpointer:
+    """Double-buffered checkpoint writer (VERDICT r4 #5: the synchronous
+    fetch + write sat on the epoch loop's critical path, 4-8 s per
+    --ckpt_every at Reddit scale vs 0.14 s/epoch of training).
+
+    ``save()`` snapshots every device leaf into FRESH device buffers (one
+    HBM copy, ~ms — this decouples the snapshot from the next train
+    step's buffer donation of the live state), starts the device→host
+    transfers asynchronously, and hands the materialize + npz write to a
+    background thread.  The next epoch's scan overlaps the transfer and
+    the write; only the on-chip copy remains on the critical path.
+
+    Crash consistency: the thread writes ``<name>.ckpt.npz.tmp`` and
+    atomically renames over the real file, so a crash or kill mid-write
+    leaves the previous complete snapshot loadable.  ``wait()`` joins the
+    pending write and re-raises any writer error; callers must wait
+    before reading the file back (load/resume) and before process exit
+    (the final save).  Single-controller only — multi-controller saves
+    need collective shard gathers that cannot overlap the next epoch's
+    collectives (Trainer.save falls back to the sync path there).
+    """
+
+    def __init__(self):
+        self._thread = None
+        self._error = None
+
+    @property
+    def pending(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def save(self, ckpt_dir: str, state, eval_histories, key,
+             name: str = "model", extra: dict = None,
+             compress: bool = True) -> str:
+        import threading
+
+        import jax.numpy as jnp
+
+        self.wait()                   # serialize with any pending write
+        os.makedirs(ckpt_dir, exist_ok=True)
+        path = os.path.join(ckpt_dir, f"{name}.ckpt.npz")
+        payload = {"state": state, "eval_histories": eval_histories,
+                   "key": key}
+        flat, _ = _path_leaves(payload)
+        snap = []
+        for k, leaf in flat:
+            if isinstance(leaf, jax.Array):
+                c = jnp.copy(leaf)            # fresh buffer, on device
+                c.copy_to_host_async()        # start D2H off the clock
+                snap.append((k, c))
+            else:
+                snap.append((k, np.asarray(leaf)))
+        extra_np = {k: np.asarray(v) for k, v in (extra or {}).items()}
+
+        def _write():
+            try:
+                arrays = {}
+                for k, leaf in snap:
+                    a = np.asarray(leaf)      # completes the async D2H
+                    if a.dtype == jnp.bfloat16:
+                        arrays[_BF16_PREFIX + k] = a.view(np.uint16)
+                    else:
+                        arrays[_LEAF_PREFIX + k] = a
+                for k, v in extra_np.items():
+                    arrays[_EXTRA_PREFIX + k] = v
+                writer = np.savez_compressed if compress else np.savez
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    writer(f, **arrays)
+                os.replace(tmp, path)         # atomic publish
+                print(f"Model saved in file: {path}")
+            except BaseException as e:        # surfaced by the next wait()
+                self._error = e
+
+        self._thread = threading.Thread(target=_write, daemon=True,
+                                        name="ckpt-writer")
+        self._thread.start()
+        return path
 
 
 def load_loop_extras(ckpt_dir: str, name: str = "model") -> dict:

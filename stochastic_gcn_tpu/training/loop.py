@@ -26,7 +26,8 @@ from ..models import gcn as M
 from ..sampler.scheduler import MinibatchIterator, compute_importance
 from ..utils.metrics import calc_f1, f1_from_counts
 from . import step as S
-from .checkpoint import load_checkpoint, load_loop_extras, save_checkpoint
+from .checkpoint import (AsyncCheckpointer, load_checkpoint,
+                         load_loop_extras, save_checkpoint)
 
 
 def assemble_input_features(cfg: Config, feats, nbr_feats, preprocess: bool):
@@ -253,6 +254,7 @@ class Trainer:
         self.completed_epochs = 0     # checkpointed for --resume
         self.stop_requested = False   # preemption: finish epoch, save, exit
         self.epoch_stats = {}
+        self._async_ckpt = None       # lazily-built AsyncCheckpointer
 
     # ------------------------------------------------------------------
     @property
@@ -473,6 +475,9 @@ class Trainer:
             self._restore_preemption_handlers()
         log("Optimization Finished!")
         self.save()
+        # the final snapshot must be durable before control returns (an
+        # exiting process would orphan the daemon writer thread)
+        self.finish_checkpoints()
 
     def _sgd_epoch_loop(self, cfg, start_epoch, max_epochs, log):
         for epoch in range(start_epoch,
@@ -638,14 +643,29 @@ class Trainer:
         # multi-controller: sharded leaves are gathered over DCN inside
         # save_checkpoint; process 0 writes (shared filesystem assumed).
         # Loop counters ride along for --resume; plain --load ignores them.
+        extra = {"completed_epochs": np.int64(self.completed_epochs),
+                 "amt_data": np.int64(self.amt_data),
+                 "cost_val": np.asarray(self.cost_val, np.float64)}
+        from ..parallel.distributed import process_count
+        if self.cfg.ckpt_async and process_count() == 1:
+            # double-buffered: on-chip snapshot now, D2H + write overlap
+            # the next epoch's scan (finish_checkpoints joins before exit)
+            if self._async_ckpt is None:
+                self._async_ckpt = AsyncCheckpointer()
+            self._async_ckpt.save(
+                self.cfg.ckpt_dir, self.state, self.eval_histories,
+                self.key, extra=extra, compress=self.cfg.ckpt_compress)
+            return
         save_checkpoint(self.cfg.ckpt_dir, self.state, self.eval_histories,
-                        self.key,
-                        extra={"completed_epochs":
-                               np.int64(self.completed_epochs),
-                               "amt_data": np.int64(self.amt_data),
-                               "cost_val": np.asarray(self.cost_val,
-                                                      np.float64)},
+                        self.key, extra=extra,
                         compress=self.cfg.ckpt_compress)
+
+    def finish_checkpoints(self):
+        """Join any in-flight async checkpoint write (re-raising writer
+        errors).  Called before process exit, load/resume, and anything
+        that reads the checkpoint file back."""
+        if getattr(self, "_async_ckpt", None) is not None:
+            self._async_ckpt.wait()
 
     def install_preemption_handler(self, signals=None):
         """Route SIGTERM (the eviction notice TPU pods / cluster managers
@@ -699,6 +719,7 @@ class Trainer:
         return self.completed_epochs
 
     def load(self, load_history: bool = None):
+        self.finish_checkpoints()     # read-after-write ordering
         if load_history is None:
             load_history = self.cfg.gradvar
         self.state, eval_hist, key = load_checkpoint(
