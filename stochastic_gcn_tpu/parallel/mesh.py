@@ -332,6 +332,43 @@ def make_sharded_eval_epoch(cfg, spec, degrees: Tuple[int, ...],
     )
 
 
+def make_sharded_pred_and_grad(cfg, spec, degrees: Tuple[int, ...],
+                               num_nodes: int, mesh: Mesh,
+                               train_mode: bool, hist_template,
+                               shard_history: bool = False,
+                               data_template=None,
+                               shard_graph: bool = False,
+                               params_template=None):
+    """Sharded get_pred_and_grad for the gradient-variance harness
+    (VERDICT r4 #6): the estimator-bias instrument runs through the SAME
+    dp lowering as training (node-sharded tables, halo gathers,
+    owner-aligned fields) instead of the single-device step.  Histories
+    are read-only here (no scatter, no donation); predictions and the
+    first-layer gradient come back replicated."""
+    import jax.tree_util as jtu
+
+    from ..training.step import build_pred_and_grad
+
+    repl = replicated(mesh)
+    shard = batch_sharded(mesh)
+    p_sh = jtu.tree_map(param_sharding_rule(mesh), params_template) \
+        if params_template is not None else repl
+    hist_sh = history_shardings(mesh, hist_template, shard_history)
+    halo = _halo_spec(cfg, mesh) \
+        if (cfg.halo_exchange and (shard_history or shard_graph)) else None
+    inner = build_pred_and_grad(cfg, spec, degrees, num_nodes, train_mode,
+                                mesh=halo)
+    if data_template is not None:
+        g_sh, f_sh, l_sh = data_shardings(mesh, data_template, shard_graph)
+    else:
+        g_sh = f_sh = l_sh = repl
+    return jax.jit(
+        inner,
+        in_shardings=(p_sh, hist_sh, g_sh, f_sh, l_sh, repl, shard, repl),
+        out_shardings=repl,
+    )
+
+
 def shard_rows(num_nodes: int, dp: int) -> int:
     """Rows of the row-sharded history tables ([N+1] padded to a multiple
     of max(8, dp) — models/gcn.py::init_histories) — the layout that

@@ -594,15 +594,42 @@ class Trainer:
         from ..utils.metrics import Stat
         cfg = self.cfg
         n = self.ds.num_data
-        batch = MinibatchIterator.pad_batch(
-            self._to_internal(self.ds.train_d[:cfg.batch_size]),
-            cfg.batch_size, n)
+        ids = self._to_internal(self.ds.train_d[:cfg.batch_size])
+        if self.mesh is not None and cfg.owner_batching:
+            # the dp training step sees owner-stratified batches; the
+            # bias instrument must measure through the same layout
+            from ..parallel.mesh import owner_grouped_batch_matrix
+            batch = owner_grouped_batch_matrix(
+                np.asarray(ids, np.int32), cfg.batch_size, n, cfg.dp)[0]
+        else:
+            batch = MinibatchIterator.pad_batch(ids, cfg.batch_size, n)
         batch = jnp.asarray(batch)
 
-        full_fn = S.make_pred_and_grad(cfg, self.test_spec,
-                                       self.test_degrees, n, False)
-        part_fn = S.make_pred_and_grad(cfg, self.train_spec,
-                                       self.train_degrees, n, True)
+        if self.mesh is not None:
+            # run the instrument through the SHARDED lowering — the same
+            # node-sharded tables / halo transports / owner-aligned
+            # fields as dp training (VERDICT r4 #6)
+            from ..parallel.mesh import make_sharded_pred_and_grad
+            eval_data = (self.graph_full, self.test_features, self.labels)
+            train_data = (self.graph_train, self.train_features,
+                          self.labels)
+            full_fn = make_sharded_pred_and_grad(
+                cfg, self.test_spec, self.test_degrees, n, self.mesh,
+                train_mode=False, hist_template=self.eval_histories,
+                shard_history=True, data_template=eval_data,
+                shard_graph=cfg.shard_graph,
+                params_template=self.state.params)
+            part_fn = make_sharded_pred_and_grad(
+                cfg, self.train_spec, self.train_degrees, n, self.mesh,
+                train_mode=True, hist_template=self.state.histories,
+                shard_history=True, data_template=train_data,
+                shard_graph=cfg.shard_graph,
+                params_template=self.state.params)
+        else:
+            full_fn = S.make_pred_and_grad(cfg, self.test_spec,
+                                           self.test_degrees, n, False)
+            part_fn = S.make_pred_and_grad(cfg, self.train_spec,
+                                           self.train_degrees, n, True)
 
         full_preds, full_grads = Stat(), Stat()
         for _ in range(times):

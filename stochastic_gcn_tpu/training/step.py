@@ -635,13 +635,18 @@ def make_activation_taps(cfg: Config, spec: M.ModelSpec,
     return jax.jit(_run)
 
 
-def make_pred_and_grad(cfg: Config, spec: M.ModelSpec,
-                       degrees: Tuple[int, ...], num_nodes: int,
-                       train_mode: bool):
-    """get_pred_and_grad (gcn/vrgcn.py:86-93): prediction + d loss / d first
-    layer weights, used by the gradient-variance harness (train.py:241-277).
-    Dropout IS applied (the reference feeds the dropout placeholder here)."""
+def build_pred_and_grad(cfg: Config, spec: M.ModelSpec,
+                        degrees: Tuple[int, ...], num_nodes: int,
+                        train_mode: bool, mesh=None):
+    """Raw get_pred_and_grad (gcn/vrgcn.py:86-93): prediction + d loss /
+    d first layer weights, used by the gradient-variance harness
+    (train.py:241-277).  Dropout IS applied (the reference feeds the
+    dropout placeholder here).  ``mesh`` selects the sharded lowering
+    (halo-exchange gathers, owner-aligned fields) exactly as in
+    build_train_step — the estimator-bias instrument can then run through
+    the SAME sharded code path the dp training step uses (VERDICT r4 #6)."""
     use_importance = cfg.importance if train_mode else cfg.test_importance
+    owner_blocks = cfg.dp if (cfg.owner_batching and mesh is not None) else 0
 
     def _run(params, histories, graph, features, labels, importance,
              batch_ids, key):
@@ -649,7 +654,8 @@ def make_pred_and_grad(cfg: Config, spec: M.ModelSpec,
         pack = schedule(k_sched, graph, batch_ids, degrees, spec.cv,
                         need_aw=spec.det_dropout,
                         importance=importance if use_importance else None,
-                        round_multiple=cfg.dp,
+                        round_multiple=cfg.dp, mesh=mesh,
+                        owner_blocks=owner_blocks,
                         is_approx_topk=cfg.is_approx_topk,
                         is_recall_target=cfg.is_recall_target,
                         dedup=cfg.field_dedup,
@@ -657,12 +663,12 @@ def make_pred_and_grad(cfg: Config, spec: M.ModelSpec,
                         else max(cfg.is_slot_cap, 0))
         batch_field = pack.fields[-1]
         valid = (batch_field < num_nodes).astype(jnp.float32)
-        y = jnp.take(labels, batch_field, axis=0)
+        y = _labels_gather(labels, batch_field, mesh, num_nodes)
 
         def loss_fn(params):
             logits, _ = M.forward(params, spec, pack, graph, histories,
                                   features, k_drop, cfg.keep_prob,
-                                  train=True)
+                                  train=True, mesh=mesh)
             loss, _ = M.loss_and_metrics(params, spec, logits, y, valid,
                                          cfg.weight_decay)
             return loss, logits
@@ -671,4 +677,13 @@ def make_pred_and_grad(cfg: Config, spec: M.ModelSpec,
         first = M.first_param_layer(spec)
         return M.predict(spec, logits), grads[first]["weights"]
 
-    return jax.jit(_run)
+    return _run
+
+
+def make_pred_and_grad(cfg: Config, spec: M.ModelSpec,
+                       degrees: Tuple[int, ...], num_nodes: int,
+                       train_mode: bool):
+    """Jitted single-chip pred_and_grad (sharded variant:
+    parallel/mesh.py::make_sharded_pred_and_grad)."""
+    return jax.jit(build_pred_and_grad(cfg, spec, degrees, num_nodes,
+                                       train_mode))

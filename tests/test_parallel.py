@@ -765,3 +765,67 @@ def test_sentinel_gather_exact_under_psum_fallback():
                                np.asarray(table)[np.asarray(ids)[real]],
                                rtol=1e-6)
     assert np.abs(np.asarray(got)[~real]).max() == 0.0
+
+
+def test_sharded_pred_and_grad_exact_parity(setup):
+    """The gradvar instrument's sharded lowering (VERDICT r4 #6): with
+    exact eval (covering degree) and dropout off, predictions AND the
+    first-layer gradient from the dp8 sharded pred_and_grad equal the
+    single-device ones — the sampled layout may differ, but the exact
+    forward/backward cannot."""
+    from stochastic_gcn_tpu.training import step as S
+
+    cfg, ds = setup
+    base = cfg.replace(dropout=0.0, degree=10000, test_degree=10000,
+                       cv=False, test_cv=False, gradvar=True)
+    tr1 = Trainer(base, ds)
+    tr8 = Trainer(base.replace(dp=8, owner_batching=True,
+                               partition_nodes="rcm"), ds)
+    n = ds.num_data
+    key = jax.random.PRNGKey(3)
+    ids = np.asarray(ds.train_d[:cfg.batch_size], np.int32)
+
+    fn1 = S.make_pred_and_grad(base, tr1.test_spec, tr1.test_degrees, n,
+                               False)
+    p1, g1 = fn1(tr1.state.params, tr1.eval_histories, tr1.graph_full,
+                 tr1.test_features, tr1.labels, tr1.importance_test,
+                 jnp.asarray(tr1._to_internal(ids)), key)
+
+    from stochastic_gcn_tpu.parallel.mesh import (
+        make_sharded_pred_and_grad, owner_grouped_batch_matrix)
+    eval_data = (tr8.graph_full, tr8.test_features, tr8.labels)
+    fn8 = make_sharded_pred_and_grad(
+        tr8.cfg, tr8.test_spec, tr8.test_degrees, n, tr8.mesh,
+        train_mode=False, hist_template=tr8.eval_histories,
+        shard_history=True, data_template=eval_data,
+        shard_graph=tr8.cfg.shard_graph,
+        params_template=tr8.state.params)
+    batch8 = owner_grouped_batch_matrix(
+        np.asarray(tr8._to_internal(ids), np.int32), cfg.batch_size, n,
+        8)[0]
+    p8, g8 = fn8(tr8.state.params, tr8.eval_histories, tr8.graph_full,
+                 tr8.test_features, tr8.labels, tr8.importance_test,
+                 jnp.asarray(batch8), key)
+
+    # same init seed -> same params; exact forward -> batch-order
+    # invariant per-node predictions.  Align dp8's owner-grouped slots
+    # back to tr1's order via the batch fields (sentinels dropped).
+    p1, p8 = np.asarray(p1), np.asarray(p8)
+    id8 = batch8[batch8 < n]
+    rows8 = {int(v): p8[np.flatnonzero(batch8 == v)[0]] for v in id8}
+    ids8_of_1 = np.asarray(tr8._to_internal(ids))
+    for r1, i8 in zip(p1, ids8_of_1):
+        np.testing.assert_allclose(r1, rows8[int(i8)], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g8), atol=2e-3)
+
+
+def test_gradient_variance_through_dp8(setup):
+    """Trainer.gradient_variance dispatches through the sharded lowering
+    under --dp and returns finite statistics."""
+    import math
+
+    cfg, ds = setup
+    tr = Trainer(cfg.replace(dp=8, owner_batching=True,
+                             partition_nodes="rcm", gradvar=True), ds)
+    r = tr.gradient_variance(times=8, log=lambda *a, **k: None)
+    assert all(math.isfinite(float(v)) for v in r.values()), r
