@@ -74,5 +74,58 @@ def main():
     print(json.dumps(out))
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("CKPT_SPACED"):
     main()
+
+
+def spaced(epochs_between=5, cycles=2):
+    """Spaced-save pattern (ckpt_every=N): per-cycle overhead of
+    train-N-epochs + save, sync vs async, vs a no-save baseline."""
+    from stochastic_gcn_tpu.config import Config
+    from stochastic_gcn_tpu.training.loop import Trainer
+
+    ds = build_reddit_like()
+    ckpt_dir = "/tmp/ckpt_prof_sp"
+    base = Config(dataset="reddit_like", batch_size=BATCH, degree=1,
+                  test_degree=1, cv=True, test_cv=True, hidden1=HIDDEN,
+                  normalization="graphsage", layer_norm=True,
+                  num_fc_layers=2, weight_decay=0.0, dropout=0.2,
+                  pad_degree=PAD_DEG, seed=1, ckpt_dir=ckpt_dir,
+                  ckpt_compress=False)
+    out = {"epochs_between": epochs_between, "cycles": cycles}
+    for name, over, do_save in [
+            ("none", dict(), False),
+            ("sync", dict(ckpt_async=False), True),
+            ("async", dict(ckpt_async=True), True)]:
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        tr = Trainer(base.replace(**over), ds)
+        tr.train_epoch()
+        _ = int(tr.state.step)
+        if do_save:
+            tr.save()
+            tr.finish_checkpoints()
+        r0 = time.time()
+        _ = int(tr.state.step)
+        rtt = time.time() - r0
+        t0 = time.time()
+        for _ in range(cycles):
+            for _ in range(epochs_between):
+                tr.train_epoch()
+            if do_save:
+                tr.save()
+        tr.finish_checkpoints()
+        _ = int(tr.state.step)
+        total = time.time() - t0 - rtt
+        out[f"spaced_{name}_s_per_cycle"] = round(total / cycles, 3)
+        print(f"spaced {name}: {total / cycles:.3f} s per "
+              f"{epochs_between}-epoch cycle", file=sys.stderr, flush=True)
+        del tr
+    for m in ("sync", "async"):
+        out[f"spaced_{m}_overhead_s"] = round(
+            out[f"spaced_{m}_s_per_cycle"] - out["spaced_none_s_per_cycle"],
+            3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__" and os.environ.get("CKPT_SPACED"):
+    spaced()

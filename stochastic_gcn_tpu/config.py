@@ -300,7 +300,7 @@ class Config:
     # uncompressed for a 5.2x smaller file — PERF.md "Checkpoint cost");
     # frequent --ckpt_every preemption snapshots want --nockpt_compress.
     ckpt_compress: bool = True
-    # Double-buffered checkpointing (default): save() snapshots the device
+    # Double-buffered checkpointing (opt-in): save() snapshots the device
     # state into fresh buffers (~ms on-chip copy), then the device->host
     # fetch and the file write run on a background thread while the next
     # epoch's scan trains — the standard TPU overlap the reference's
@@ -309,8 +309,13 @@ class Config:
     # previous complete snapshot; the final save and any load/resume wait
     # for pending writes.  Multi-controller launches fall back to the
     # synchronous collective save (shard gathers cannot overlap the next
-    # epoch's collectives).  --nockpt_async restores blocking saves.
-    ckpt_async: bool = True
+    # epoch's collectives).  DEFAULT OFF: measured through the axon
+    # device tunnel, the background device->host transfer SERIALIZES
+    # against the dispatch stream (ckpt_every=5 cycle: async 17.2 s
+    # overhead vs sync 4.7 s — scripts/profile_ckpt_async.py, PERF.md
+    # round 5), so overlap is a loss there; enable on hosts with a local
+    # PCIe/ICI D2H path where the transfer genuinely runs concurrently.
+    ckpt_async: bool = False
     # Continue a preempted/interrupted run from ckpt_dir's checkpoint:
     # restores the full train state (params, Adam, histories, RNG) PLUS
     # the loop counters (completed epochs, cumulative sampled-edge count

@@ -25,7 +25,8 @@ def ds():
 def _cfg(tmp_path, **kw):
     base = dict(dataset="synthetic", batch_size=64, degree=1, test_degree=1,
                 cv=True, test_cv=True, hidden1=16, seed=1,
-                early_stopping=100, ckpt_dir=str(tmp_path))
+                early_stopping=100, ckpt_dir=str(tmp_path),
+                ckpt_async=True)     # the opt-in path under test
     base.update(kw)
     return Config(**base)
 
@@ -37,7 +38,6 @@ def test_async_save_roundtrips_like_sync(tmp_path, ds):
 
     tr = Trainer(_cfg(tmp_path), ds)
     tr.sgd_train(log=lambda *a, **k: None, max_epochs=2)
-    assert tr.cfg.ckpt_async           # async is the default path
     assert os.path.exists(tmp_path / "model.ckpt.npz")
     assert not os.path.exists(tmp_path / "model.ckpt.npz.tmp")
 
@@ -112,7 +112,8 @@ def test_crashed_write_keeps_previous_snapshot(tmp_path, ds):
 
 
 def test_nockpt_async_uses_sync_path(tmp_path, ds):
-    """--nockpt_async restores the blocking save (no writer thread)."""
+    """ckpt_async off (the default) keeps the blocking save (no writer
+    thread)."""
     tr = Trainer(_cfg(tmp_path, ckpt_async=False), ds)
     tr.sgd_train(log=lambda *a, **k: None, max_epochs=1)
     assert tr._async_ckpt is None

@@ -135,6 +135,7 @@ def test_checkpoint_is_pickle_free(tmp_path, ds):
     tr = Trainer(cfg, ds)
     tr.train_epoch()
     tr.save()
+    tr.finish_checkpoints()      # saves are async: join before reading
     path = tmp_path / "model.ckpt.npz"
     z = np.load(path, allow_pickle=False)   # raises if any pickled entry
     for k in z.files:
