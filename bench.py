@@ -722,22 +722,37 @@ def main():
         _emit(result)
         return
 
+    def section(name, fn):
+        """Run a section; a failure records an error key instead of
+        aborting the whole artifact (rc stays 0, the headline stands)."""
+        try:
+            fn()
+        except Exception as e:   # noqa: BLE001
+            result[f"{name}_error"] = repr(e)[:200]
+            print(f"section {name} FAILED: {e!r}", file=sys.stderr,
+                  flush=True)
+
     # ---- driver convergence gate: SBM 0.90 band (VERDICT r4 #3) --------
     if gate("convergence", 240, "convergence_best_micro_f1"):
-        result.update(run_convergence())
+        section("convergence",
+                lambda: result.update(run_convergence()))
 
     # ---- inference/serving throughput (VERDICT r4 #5) ------------------
     if gate("inference", 180, "infer_nodes_per_s"):
-        run_inference(tr, ds, edges_per_node, deadline=deadline,
-                      export_est_s=180)
+        section("inference",
+                lambda: run_inference(tr, ds, edges_per_node,
+                                      deadline=deadline, export_est_s=180))
 
     # ---- 3-layer path (VERDICT r4 #2: the field-explosion regime) ------
-    if gate("three_layer", 130, "edges_per_s_3layer"):
+    def _three_layer():
         tr3 = Trainer(cfg.replace(num_layers=3), ds)
         eps3, _ = edges_per_s_of(tr3, batch_matrix, steps)
         result["edges_per_s_3layer"] = round(eps3, 1)
-        del tr3
-    if gate("three_layer_b4096", 150, "edges_per_s_3layer_batch4096"):
+
+    if gate("three_layer", 130, "edges_per_s_3layer"):
+        section("three_layer", _three_layer)
+
+    def _three_layer_big():
         tr3b = Trainer(cfg.replace(num_layers=3, batch_size=4096), ds)
 
         def b3_matrix(s):
@@ -747,18 +762,22 @@ def main():
 
         eps3b, _ = edges_per_s_of(tr3b, b3_matrix, 100)
         result["edges_per_s_3layer_batch4096"] = round(eps3b, 1)
-        del tr3b
+
+    if gate("three_layer_b4096", 150, "edges_per_s_3layer_batch4096"):
+        section("three_layer_b4096", _three_layer_big)
 
     # ---- variant keys --------------------------------------------------
     # f32-history (--history_dtype=float32, bit-level reference
     # semantics; bf16 is the validated default — REPLICA_VALIDATION_BF16)
-    if gate("f32_history", 110, "edges_per_s_f32_history"):
+    def _f32():
         tr16 = Trainer(cfg.replace(history_dtype="float32"), ds)
         eps16, _ = edges_per_s_of(tr16, batch_matrix, steps)
         result["edges_per_s_f32_history"] = round(eps16, 1)
         result["vs_baseline_f32_history"] = round(
             eps16 / REFERENCE_EDGES_PER_S, 3)
-        del tr16
+
+    if gate("f32_history", 110, "edges_per_s_f32_history"):
+        section("f32_history", _f32)
 
     # max-throughput batch (per-step cost is latency-bound and nearly
     # batch-independent, so edges/s scales ~linearly with batch)
@@ -774,30 +793,35 @@ def main():
             return jnp.asarray(ids.reshape(s, b))
         return mk
 
-    if gate("batch4096", 120, "edges_per_s_batch4096"):
+    def _big():
         tr_big = Trainer(cfg.replace(batch_size=big), ds)
         eps_big, _ = edges_per_s_of(tr_big, big_matrix_for(big), big_steps)
         result["edges_per_s_batch4096"] = round(eps_big, 1)
         result["vs_baseline_batch4096"] = round(
             eps_big / REFERENCE_EDGES_PER_S_B4096, 3)
-        del tr_big
+
+    if gate("batch4096", 120, "edges_per_s_batch4096"):
+        section("batch4096", _big)
 
     # dedup-compacted field layout (--field_dedup): reference-faithful
     # `visited`-map semantics; the headline rides the validated no-dedup
     # default (REPLICA_VALIDATION_NODEDUP) — this records what exact
     # reference field semantics cost.
-    if gate("dedup", 180, "edges_per_s_dedup"):
-        for b, s, key in ((BATCH, steps, "edges_per_s_dedup"),
-                          (big, big_steps, "edges_per_s_dedup_batch4096")):
+    def _dedup():
+        for b, s_, key in ((BATCH, steps, "edges_per_s_dedup"),
+                           (big, big_steps, "edges_per_s_dedup_batch4096")):
             tr_nd = Trainer(cfg.replace(batch_size=b, field_dedup=True),
                             ds)
-            eps_nd, _ = edges_per_s_of(tr_nd, big_matrix_for(b), s)
+            eps_nd, _ = edges_per_s_of(tr_nd, big_matrix_for(b), s_)
             result[key] = round(eps_nd, 1)
             del tr_nd
 
+    if gate("dedup", 180, "edges_per_s_dedup"):
+        section("dedup", _dedup)
+
     # IS recipe record (VERDICT r3 #8): auto slot cap (-1 -> 8 at batch
     # 4096) vs the exact-semantics cap-0 path
-    if gate("importance", 180, "edges_per_s_is_batch4096"):
+    def _importance():
         for cap, key in ((-1, "edges_per_s_is_batch4096"),
                          (0, "edges_per_s_is_cap0_batch4096")):
             tr_is = Trainer(cfg.replace(batch_size=big, cv=False,
@@ -809,13 +833,17 @@ def main():
             result[key] = round(eps_is, 1)
             del tr_is
 
+    if gate("importance", 180, "edges_per_s_is_batch4096"):
+        section("importance", _importance)
+
     # ---- estimator time-to-accuracy A/B (the paper's headline claim,
     # /root/reference/README.md:44) — last: most expensive, per-arm
     # deadline-gated inside ------------------------------------------------
     if gate("estimator_ab", AB_ARM_EST_S["exact"],
             "ab_cvdpp_plateau_micro_f1"):
         del tr, metrics
-        result.update(run_estimator_ab(deadline=deadline))
+        section("estimator_ab",
+                lambda: result.update(run_estimator_ab(deadline=deadline)))
 
     _emit(result)
 
