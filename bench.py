@@ -606,7 +606,8 @@ def main():
                  test_degree=1, cv=True, test_cv=True, hidden1=HIDDEN,
                  normalization="graphsage", layer_norm=True,
                  num_fc_layers=2, weight_decay=0.0, dropout=0.2,
-                 pad_degree=PAD_DEG, seed=1)
+                 pad_degree=PAD_DEG, seed=1,
+                 test_batch_size=2048)   # inference/serving section shape
     t0 = time.time()
     tr = Trainer(cfg, ds)
     build_s = time.time() - t0
