@@ -101,6 +101,10 @@ class AsyncCheckpointer:
     transfers asynchronously, and hands the materialize + npz write to a
     background thread.  The next epoch's scan overlaps the transfer and
     the write; only the on-chip copy remains on the critical path.
+    (Opt-in via --ckpt_async: the overlap requires a D2H path that runs
+    concurrently with compute — through the axon device tunnel it does
+    NOT, and this path measured 3x worse than the sync save there;
+    PERF.md round 5.)
 
     Crash consistency: the thread writes ``<name>.ckpt.npz.tmp`` and
     atomically renames over the real file, so a crash or kill mid-write
