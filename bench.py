@@ -492,7 +492,10 @@ def run_inference(tr, ds, edges_per_node, deadline=None, export_est_s=300):
     d = tempfile.mkdtemp(prefix="bench_export_")
     try:
         t0 = time.time()
-        export_predictor(tr, d)
+        # scan_batches=4: 4 x 2048 ids per device call — the bulk-serving
+        # shape (the 1-call-per-batch contract paid ~28 tunnel round
+        # trips per 56k predictions; PERF.md round 5 inference)
+        export_predictor(tr, d, scan_batches=4)
         out["serving_export_s"] = round(time.time() - t0, 1)
         pred = load_predictor(d)
         sub = np.asarray(test_ids[:8192])

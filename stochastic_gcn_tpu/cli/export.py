@@ -31,6 +31,10 @@ def main(argv=None):
                    help="comma-separated lowering targets, e.g. cpu,tpu "
                         "for an artifact that serves on either fleet "
                         "(default: current backend only)")
+    p.add_argument("--scan_batches", type=int, default=1,
+                   help="batches per exported device call (the scan runs "
+                        "on-device; larger values amortize per-call "
+                        "dispatch for bulk serving)")
     own, rest = p.parse_known_args(argv)
 
     from ..config import parse_flags
@@ -46,7 +50,8 @@ def main(argv=None):
     plats = tuple(s.strip() for s in own.platforms.split(",")
                   if s.strip())
     t0 = time.time()
-    path = export_predictor(trainer, own.out, platforms=plats)
+    path = export_predictor(trainer, own.out, platforms=plats,
+                            scan_batches=own.scan_batches)
     print(f"Serving artifact written to: {path}  "
           f"time= {time.time() - t0:.5f}")
     return path

@@ -44,14 +44,18 @@ _BF16 = "bf16:"          # npz has no native bfloat16: store the bit view
 
 
 def export_predictor(trainer, path: str, refresh: bool = True,
-                     platforms: Sequence[str] = ()) -> str:
+                     platforms: Sequence[str] = (),
+                     scan_batches: int = 1) -> str:
     """Serialize ``trainer``'s inference surface to ``path`` (a directory).
 
-    Writes the StableHLO module (one eval-epoch step at
-    ``cfg.test_batch_size`` ids per call), the serving state (eval params
-    — Polyak-averaged when enabled — converged eval histories, device
-    graph, features, labels, importance table, and the relabeling map),
-    and a manifest.
+    Writes the StableHLO module (one eval-epoch call over
+    ``scan_batches`` x ``cfg.test_batch_size`` ids — the scan runs
+    on-device, so larger ``scan_batches`` amortizes per-call dispatch /
+    transport round trips exactly like the live trainer's scanned
+    predict; measured ~6x on the tunneled bench at 28 batches), the
+    serving state (eval params — Polyak-averaged when enabled —
+    converged eval histories, device graph, features, labels, importance
+    table, and the relabeling map), and a manifest.
 
     ``platforms`` selects the lowering targets (e.g. ``("cpu", "tpu")``
     for an artifact that serves on either fleet); empty = the current
@@ -99,7 +103,7 @@ def export_predictor(trainer, path: str, refresh: bool = True,
     b = cfg.test_batch_size
     spec = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
             for k, v in zip(names, leaves)}
-    bm_spec = jax.ShapeDtypeStruct((1, b), jnp.int32)
+    bm_spec = jax.ShapeDtypeStruct((max(1, scan_batches), b), jnp.int32)
     key0 = jax.random.PRNGKey(cfg.seed)
     key_spec = jax.ShapeDtypeStruct(key0.shape, key0.dtype)
     kw = {"platforms": tuple(platforms)} if platforms else {}
@@ -124,6 +128,7 @@ def export_predictor(trainer, path: str, refresh: bool = True,
     manifest = {"num_nodes": int(n),
                 "num_classes": int(trainer.ds.num_classes),
                 "batch_size": int(b),
+                "scan_batches": int(max(1, scan_batches)),
                 "multitask": bool(cfg.multitask),
                 "names": names,
                 "jax_version": jax.__version__}
@@ -144,6 +149,7 @@ class Predictor:
         self.num_nodes = m["num_nodes"]
         self.num_classes = m["num_classes"]
         self.batch_size = m["batch_size"]
+        self.scan_batches = m.get("scan_batches", 1)  # pre-r5 artifacts
         self.multitask = m["multitask"]
         raw = dict(np.load(os.path.join(path, _STATE)))
         self._id_map = raw.pop("id_map", None)
@@ -163,11 +169,13 @@ class Predictor:
                     if self._id_map is not None
                     else ids.astype(np.int32))
         n, b = self.num_nodes, self.batch_size
+        span = self.scan_batches * b          # ids served per device call
         by_id = np.zeros((n + 1, self.num_classes), np.float32)
-        for lo in range(0, len(internal), b):
-            chunk = internal[lo:lo + b]
-            bm = np.full((1, b), n, np.int32)
-            bm[0, :len(chunk)] = chunk
+        for lo in range(0, len(internal), span):
+            chunk = internal[lo:lo + span]
+            bm = np.full((self.scan_batches * b,), n, np.int32)
+            bm[:len(chunk)] = chunk
+            bm = bm.reshape(self.scan_batches, b)
             preds, fields = self._exported.call(self._state,
                                                 jnp.asarray(bm), self._key)
             preds = np.asarray(preds).reshape(-1, self.num_classes)

@@ -99,3 +99,23 @@ def test_export_rejects_meshed_trainer(tmp_path):
     tr = Trainer(cfg, load_data(cfg))
     with pytest.raises(ValueError, match="single-chip"):
         export_predictor(tr, str(tmp_path / "art"))
+
+
+def test_scanned_export_matches_single_batch(tmp_path):
+    """--scan_batches N exports a module serving N x test_batch_size ids
+    per device call (on-device scan, amortizing per-call dispatch); its
+    predictions equal the single-batch artifact's and live predict's,
+    including on a ragged tail shorter than one span."""
+    tr = _trained(tmp_path, degree=1, test_degree=1, cv=True, test_cv=True)
+    all_ids = np.arange(tr.ds.num_data, dtype=np.int64)
+    live = tr.predict(all_ids)
+
+    art = export_predictor(tr, str(tmp_path / "art_scan"), scan_batches=3)
+    pred = load_predictor(art)
+    assert pred.scan_batches == 3
+    np.testing.assert_allclose(pred.predict(all_ids), live,
+                               rtol=1e-4, atol=1e-5)
+    # ragged tail: fewer ids than one scan span (3 x 48)
+    few = np.asarray([7, 0, 219], np.int64)
+    np.testing.assert_allclose(pred.predict(few), live[few],
+                               rtol=1e-4, atol=1e-5)
