@@ -122,6 +122,10 @@ def main():
                     help="history buffer dtype applied to every algo "
                          "(bfloat16 validates the fast-history option "
                          "against the same acceptance bands)")
+    ap.add_argument("--features_dtype", default="float32",
+                    help="device feature-table dtype applied to every "
+                         "algo (bfloat16 validates the half-footprint "
+                         "feature option against the same bands)")
     ap.add_argument("--algos", default=None,
                     help="comma-separated subset of the grid to run "
                          "(e.g. Exact,CVPP,CVDPP); Exact is always "
@@ -185,7 +189,8 @@ def main():
     # ---- Cora replica (Planetoid format, gcn normalization) -------------
     log("Cora replica (reference recipe = defaults):")
     cora_dir = build_cora_replica(args.tmp)
-    shard_over = {"graph_format": args.graph_format}
+    shard_over = {"graph_format": args.graph_format,
+                  "features_dtype": args.features_dtype}
     if args.fadj_edge_mult:
         shard_over["fadj_edge_mult"] = args.fadj_edge_mult
     if args.nofield_dedup:

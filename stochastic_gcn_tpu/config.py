@@ -94,6 +94,14 @@ class Config:
     # (last two passes wobble by ~1e-4 in loss).  Training throughput is
     # unaffected.
     test_history_dtype: str = "float32"
+    # Dtype of the device-resident input-feature tables (dense rows or
+    # padded-sparse values) — the LARGEST tables for feature-heavy graphs
+    # (the graphsage PP input is [N, 2*feat_dim] f32 = 1.1 GB at Reddit
+    # shape).  bfloat16 halves their HBM footprint and host->device
+    # transfer; the first-layer contraction promotes to f32 (mixed
+    # bf16 x f32 matmul), matching the bf16-history precision story.
+    # float32 (default) is the bit-level reference semantics.
+    features_dtype: str = "float32"
     # IS scheduler (--importance): select the Gumbel top-k over the
     # neighbor union with TPU-native approx_max_k (2.7x cheaper than the
     # exact N-sized sort at Reddit scale — 0.58 -> 0.22 ms at k=512 over

@@ -9,6 +9,7 @@ shared parameters, and the compiled train/eval steps; exposes ``sgd_train``,
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from typing import Optional
 
@@ -46,11 +47,16 @@ def assemble_input_features(cfg: Config, feats, nbr_feats, preprocess: bool):
 
 
 def to_device_features(cfg: Config, feats, num_nodes: int):
+    dtype = jnp.dtype(cfg.features_dtype)
     if sp.issparse(feats):
         if cfg.dense_input:
-            return dense_rows(feats, num_nodes)
-        return pad_sparse_features(feats, cfg.feat_nnz_cap, num_nodes)
-    return dense_rows(np.asarray(feats, np.float32), num_nodes)
+            return dense_rows(feats, num_nodes, dtype=dtype)
+        pf = pad_sparse_features(feats, cfg.feat_nnz_cap, num_nodes)
+        if pf.val.dtype != dtype:
+            pf = dataclasses.replace(pf, val=pf.val.astype(dtype))
+        return pf
+    return dense_rows(np.asarray(feats, np.float32), num_nodes,
+                      dtype=dtype)
 
 
 class Trainer:

@@ -153,3 +153,49 @@ def test_profile_dir_writes_trace(tmp_path, ds):
     found = glob.glob(str(tmp_path / "prof" / "plugins" / "profile" /
                           "*" / "*"))
     assert found, "no profiler trace files written"
+
+
+def test_features_dtype_bfloat16_trains_close_to_f32():
+    """--features_dtype bfloat16 halves the biggest device tables; the
+    mixed bf16xf32 first-layer contraction must track the f32 run
+    closely (dense and padded-sparse feature paths)."""
+    import numpy as np
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+
+    from stochastic_gcn_tpu.config import Config
+    from stochastic_gcn_tpu.data.loaders import synthetic_dataset
+    from stochastic_gcn_tpu.training.loop import Trainer
+
+    ds = synthetic_dataset(num_nodes=200, feature_dim=24, num_classes=4,
+                           avg_degree=6, seed=0)
+    base = Config(dataset="synthetic", batch_size=64, degree=1,
+                  test_degree=10000, cv=True, test_cv=True, hidden1=16,
+                  seed=1)
+
+    losses = {}
+    for dt in ("float32", "bfloat16"):
+        tr = Trainer(base.replace(features_dtype=dt), ds)
+        assert tr.train_features.dtype == jnp.dtype(dt)
+        for _ in range(3):
+            loss, _, _, _ = tr.train_epoch()
+        vloss, _, micro, _, _ = tr.evaluate(ds.val_d)
+        losses[dt] = (loss, vloss, micro)
+    f32, b16 = losses["float32"], losses["bfloat16"]
+    assert abs(f32[0] - b16[0]) < 0.08, losses
+    assert abs(f32[2] - b16[2]) < 0.15, losses
+
+    # padded-sparse value path
+    import dataclasses
+    sp_feats = sp.csr_matrix(np.where(
+        np.random.default_rng(0).random(ds.feats.shape) < 0.1,
+        ds.feats, 0.0))
+    ds_sp = dataclasses.replace(ds, feats=sp_feats,
+                                train_feats=ds.train_feats,
+                                test_feats=ds.test_feats)
+    tr = Trainer(base.replace(features_dtype="bfloat16",
+                              preprocess=False, test_preprocess=False),
+                 ds_sp)
+    assert tr.train_features.val.dtype == jnp.bfloat16
+    loss, _, _, _ = tr.train_epoch()
+    assert np.isfinite(loss)
