@@ -835,6 +835,16 @@ def main():
 
     # IS recipe record (VERDICT r3 #8): auto slot cap (-1 -> 8 at batch
     # 4096) vs the exact-semantics cap-0 path
+    def _featbf16():
+        trf = Trainer(cfg.replace(features_dtype="bfloat16"), ds)
+        epsf, _ = edges_per_s_of(trf, batch_matrix, steps)
+        result["edges_per_s_featbf16"] = round(epsf, 1)
+
+    # bf16 feature tables (--features_dtype, band-validated —
+    # REPLICA_VALIDATION_FEATBF16): half the input-slice bytes
+    if gate("featbf16", 90, "edges_per_s_featbf16"):
+        section("featbf16", _featbf16)
+
     def _importance():
         for cap, key in ((-1, "edges_per_s_is_batch4096"),
                          (0, "edges_per_s_is_cap0_batch4096")):
