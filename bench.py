@@ -893,6 +893,7 @@ _KEY_PRIORITY = [
     "edges_per_s_f32_history", "vs_baseline_f32_history",
     "edges_per_s_dedup", "edges_per_s_dedup_batch4096",
     "edges_per_s_is_batch4096", "edges_per_s_is_cap0_batch4096",
+    "edges_per_s_featbf16",
     "convergence_epochs_to_target",
     "convergence_seconds_to_target", "convergence_best_micro_f1",
     "ab_cvdpp_speedup_vs_exact", "ab_cvpp_speedup_vs_exact",
