@@ -25,7 +25,7 @@ from ..data.graph import (Dataset, dense_rows, flat_csr, pad_csr,
 from ..data.preprocess import cap_adj_degree
 from ..models import gcn as M
 from ..sampler.scheduler import MinibatchIterator, compute_importance
-from ..utils.metrics import calc_f1, f1_from_counts
+from ..utils.metrics import f1_from_counts
 from . import step as S
 from .checkpoint import (AsyncCheckpointer, load_checkpoint,
                          load_loop_extras, save_checkpoint)

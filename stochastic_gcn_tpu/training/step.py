@@ -14,7 +14,6 @@ scattering them after ``optax`` applies the Adam step.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -25,7 +24,7 @@ import optax
 from ..config import Config
 from ..data.graph import PaddedGraph
 from ..models import gcn as M
-from ..sampler.scheduler import BatchFields, compute_importance, schedule
+from ..sampler.scheduler import BatchFields, schedule
 
 
 @jax.tree_util.register_dataclass
