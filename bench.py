@@ -541,6 +541,19 @@ def main():
     from stochastic_gcn_tpu.config import Config
     from stochastic_gcn_tpu.training.loop import Trainer
 
+    # Persistent compilation cache: every section (and every bench
+    # invocation, including the driver's) re-traces the same static
+    # shapes — serialized executables cut the 4-40 s per-section compile
+    # warmups to sub-second on later runs.  Harmless if unsupported.
+    try:
+        os.makedirs("tmp/jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.abspath("tmp/jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception as e:   # noqa: BLE001
+        print(f"compilation cache unavailable: {e}", file=sys.stderr)
+
     # ---- driver budget (VERDICT r4 #1: r3 unparseable, r4 SIGTERMed —
     # the bench must LAND inside the driver's timeout, every round) ------
     # Sections run most-important-first and each checks the remaining
